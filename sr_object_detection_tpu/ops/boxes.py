@@ -1,0 +1,215 @@
+"""Box math, YOLOv2 region decode, and vectorized NMS.
+
+TPU-native replacements for the scalar C loops in src_yolo2/box.c
+(box_iou / do_nms_sort) and src_yolo2/region_layer.c
+(get_region_box:73-85, get_region_boxes:328-379). Boxes are
+(x, y, w, h) CENTER format, like the reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def box_iou(a, b):
+    """IoU of two (..., 4) center-format box arrays (box.c:33-58).
+
+    Matches the reference's overlap(): intersection clamped at 0; union
+    computed as areaA + areaB - inter.
+    """
+    ax1 = a[..., 0] - a[..., 2] / 2
+    ax2 = a[..., 0] + a[..., 2] / 2
+    ay1 = a[..., 1] - a[..., 3] / 2
+    ay2 = a[..., 1] + a[..., 3] / 2
+    bx1 = b[..., 0] - b[..., 2] / 2
+    bx2 = b[..., 0] + b[..., 2] / 2
+    by1 = b[..., 1] - b[..., 3] / 2
+    by2 = b[..., 1] + b[..., 3] / 2
+    iw = jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1)
+    ih = jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1)
+    inter = jnp.where((iw < 0) | (ih < 0), 0.0, iw * ih)
+    union = a[..., 2] * a[..., 3] + b[..., 2] * b[..., 3] - inter
+    return inter / union
+
+
+def iou_matrix(boxes):
+    """All-pairs IoU for (N, 4) center boxes -> (N, N)."""
+    return box_iou(boxes[:, None, :], boxes[None, :, :])
+
+
+def region_activate(raw, n_anchors: int, n_fields: int, *,
+                    softmax: bool = False, tree_groups=None):
+    """Apply the region layer's forward activations (region_layer.c:144-176).
+
+    raw: NHWC (B, H, W, A*F) conv output, F = coords+classes+1.
+    Returns (B, H, W, A, F) with logistic on the objectness slot and
+    softmax (flat or grouped/tree) over the class slots. Box slots stay
+    raw (decode applies logistic/exp later, exactly like the reference).
+    """
+    b, h, w, _ = raw.shape
+    x = raw.reshape(b, h, w, n_anchors, n_fields)
+    obj = jax.nn.sigmoid(x[..., 4:5])
+    cls = x[..., 5:]
+    if tree_groups is not None:
+        cls = grouped_softmax(cls, tree_groups)
+    elif softmax:
+        cls = jax.nn.softmax(cls, axis=-1)
+    return jnp.concatenate([x[..., :4], obj, cls], axis=-1)
+
+
+def grouped_softmax(logits, group_ids):
+    """Segmented softmax over the last axis (softmax_tree semantics).
+
+    ``group_ids``: int array (C,) mapping each class to its sibling
+    group (tree.c:53-103). Uses segment max/sum so ragged 9k-tree groups
+    stay vectorized instead of 845k tiny softmaxes.
+    """
+    group_ids = jnp.asarray(group_ids)
+    num_groups = int(np.asarray(group_ids).max()) + 1
+    lead = logits.shape[:-1]
+    flat = logits.reshape(-1, logits.shape[-1])
+
+    def one(v):
+        gmax = jax.ops.segment_max(v, group_ids, num_segments=num_groups)
+        e = jnp.exp(v - gmax[group_ids])
+        gsum = jax.ops.segment_sum(e, group_ids, num_segments=num_groups)
+        return e / gsum[group_ids]
+
+    out = jax.vmap(one)(flat)
+    return out.reshape(*lead, logits.shape[-1])
+
+
+def decode_region_boxes(acts, anchors, *, img_w, img_h):
+    """Vectorized get_region_box (region_layer.c:73-85, DOABS=1).
+
+    acts: (B, H, W, A, F) activated region output.
+    anchors: (A, 2) biases.
+    Returns boxes (B, H, W, A, 4) scaled by (img_w, img_h) like
+    get_region_boxes:342-345 (relative coords * requested image size).
+    """
+    b, h, w, a, _ = acts.shape
+    col = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)[None, :, :, None]
+    row = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)[None, :, :, None]
+    anchors = jnp.asarray(anchors, jnp.float32).reshape(1, 1, 1, a, 2)
+    bx = (col + jax.nn.sigmoid(acts[..., 0])) / w * img_w
+    by = (row + jax.nn.sigmoid(acts[..., 1])) / h * img_h
+    bw = jnp.exp(acts[..., 2]) * anchors[..., 0] / w * img_w
+    bh = jnp.exp(acts[..., 3]) * anchors[..., 1] / h * img_h
+    return jnp.stack([bx, by, bw, bh], axis=-1)
+
+
+def region_class_probs(acts, *, thresh: float):
+    """probs[box, cls] = objectness * class_prob, zeroed below thresh
+    (get_region_boxes:368-373, the flat-softmax path).
+
+    acts: (B, H, W, A, F). Returns (B, H*W*A, C).
+    """
+    b = acts.shape[0]
+    obj = acts[..., 4:5]
+    probs = obj * acts[..., 5:]
+    probs = jnp.where(probs > thresh, probs, 0.0)
+    return probs.reshape(b, -1, probs.shape[-1])
+
+
+def nms_sort(boxes, probs, iou_thresh: float):
+    """Vectorized per-class greedy NMS (box.c do_nms_sort:249-277).
+
+    boxes: (N, 4); probs: (N, C). For each class: boxes sorted by prob
+    desc; a box's prob is zeroed when a higher-scoring *surviving* box
+    of that class overlaps it with IoU > thresh. Returns new probs.
+
+    Implementation: one IoU matrix + a lax.scan over rank order per
+    class (the suppression recurrence is inherently sequential in rank,
+    but C classes run in a single vectorized pass and N-rank scan).
+    """
+    n, c = probs.shape
+    ious = iou_matrix(boxes)                      # (N, N)
+
+    order = jnp.argsort(-probs, axis=0)           # (N, C) box idx by rank
+    ranked_probs = jnp.take_along_axis(probs, order, axis=0)
+    # iou between rank r and rank q per class: ious[order[r,c], order[q,c]]
+    # scan over ranks: keep[r] = prob>0 and no earlier surviving box
+    # with iou > thresh.
+    def body(carry, r):
+        suppressed = carry                        # (N, C) per-rank flags
+        alive = (ranked_probs[r] > 0) & ~suppressed[r]          # (C,)
+        # iou_r[q, c] = iou(order[r, c], order[q, c]) — boxes at rank q
+        iou_r = ious[order[r][None, :], order]    # (N, C)
+        kill = alive[None, :] & (iou_r > iou_thresh)
+        ranks = jnp.arange(n)[:, None]
+        kill = kill & (ranks > r)
+        return suppressed | kill, alive
+
+    suppressed0 = jnp.zeros((n, c), dtype=bool)
+    suppressed, _ = jax.lax.scan(body, suppressed0, jnp.arange(n))
+    kept = jnp.where(suppressed, 0.0, ranked_probs)
+    # scatter back to original order
+    out = jnp.zeros_like(probs)
+    out = out.at[order, jnp.arange(c)[None, :]].set(kept)
+    return out
+
+
+def nms_sort_topk(boxes, probs, iou_thresh: float, k: int = 128):
+    """NMS over only the top-k candidates per class — the production
+    path. Identical result to :func:`nms_sort` whenever <=k boxes per
+    class have nonzero prob (true for real thresholds: 13*13*5=845
+    candidates but a handful above 0.005); O(k^2 * C) instead of O(N^2).
+    """
+    n, c = probs.shape
+    k = min(k, n)
+    top_p, top_i = jax.lax.top_k(probs.T, k)      # (C, k)
+    top_boxes = boxes[top_i]                      # (C, k, 4)
+    ious = box_iou(top_boxes[:, :, None, :], top_boxes[:, None, :, :])
+
+    def per_class(p, iou):
+        def body(suppressed, r):
+            alive = (p[r] > 0) & ~suppressed[r]
+            kill = alive & (iou[r] > iou_thresh) & (jnp.arange(k) > r)
+            return suppressed | kill, None
+        suppressed, _ = jax.lax.scan(body, jnp.zeros(k, bool), jnp.arange(k))
+        return jnp.where(suppressed, 0.0, p)
+
+    kept = jax.vmap(per_class)(top_p, ious)       # (C, k)
+    out = jnp.zeros_like(probs)
+    out = out.at[top_i, jnp.arange(c)[:, None]].set(kept)
+    return out
+
+
+def hierarchy_multiply(probs, parents):
+    """hierarchy_predictions (tree.c:37-51): child *= parent, in index
+    order (parents always precede children in 9k.tree). Sequential
+    dependency resolved by multiplying along each node's root path —
+    equivalent because prob[j] becomes prod(path to root).
+
+    probs: (..., C); parents: (C,) int, -1 for roots.
+    Returns path-product probabilities.
+    """
+    parents = np.asarray(parents)
+    c = parents.shape[0]
+    # Precompute ancestor chains as a (C, depth) gather table (static).
+    depth = 1
+    chain = [np.arange(c)]
+    cur = parents.copy()
+    while (cur >= 0).any():
+        chain.append(np.where(cur >= 0, cur, chain[-1]))
+        nxt = np.where(cur >= 0, parents[np.maximum(cur, 0)], -1)
+        cur = nxt
+        depth += 1
+    chain = np.stack(chain, axis=1)               # (C, depth)
+    gathered = probs[..., chain]                  # (..., C, depth)
+    # mask duplicate trailing entries (where the walk stalled at a root):
+    # chain repeats the node itself once parent < 0; build a one-hot-ish
+    # multiplicity fix by only multiplying strictly-new ancestors.
+    valid = np.ones_like(chain, dtype=bool)
+    valid[:, 1:] = chain[:, 1:] != chain[:, :-1]
+    gathered = jnp.where(jnp.asarray(valid), gathered, 1.0)
+    return jnp.prod(gathered, axis=-1)
+
+
+__all__ = [
+    "box_iou", "iou_matrix", "region_activate", "grouped_softmax",
+    "decode_region_boxes", "region_class_probs",
+    "nms_sort", "nms_sort_topk", "hierarchy_multiply",
+]

@@ -1,0 +1,149 @@
+"""Convolution / batchnorm / connected ops, NHWC, MXU-shaped.
+
+TPU-native replacement for the reference's im2col+GEMM convolution path
+(src_yolo2/convolutional_layer.c:435-474, im2col.c, gemm.c): a single
+``lax.conv_general_dilated`` in NHWC/HWIO lands directly on the MXU and
+XLA fuses the batchnorm affine + bias + activation into its epilogue.
+
+Parity-critical details preserved from the reference:
+  * forward order is conv -> batchnorm(normalize+scale) -> +bias -> act
+    (convolutional_layer.c:455-473);
+  * batchnorm normalizes as (x-mean)/(sqrt(var) + 1e-6) — epsilon added
+    OUTSIDE the sqrt (blas.c:122);
+  * train-time batch variance uses the 1/(N-1) estimator (blas.c:101);
+  * rolling stats update with 0.9/0.1 on CPU (batchnorm_layer.c:133-136).
+
+Inference-path speed: pass ``compute_dtype=jnp.bfloat16`` to run the conv
+on the MXU in bf16 with fp32 accumulation (preferred_element_type).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BN_EPS = 1e-6  # blas.c:122 — added outside sqrt
+
+
+def conv2d(x, w, *, stride: int, pad: int, compute_dtype=None):
+    """NHWC conv. ``w`` is HWIO. Output fp32 unless x dtype narrower."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    return lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def batchnorm_inference(x, scales, rolling_mean, rolling_var):
+    """(x - mean) / (sqrt(var) + eps) * scale  — channelwise over NHWC[-1].
+
+    Folded to a single multiply-add so XLA fuses it into the conv epilogue.
+    """
+    inv = scales / (jnp.sqrt(rolling_var) + BN_EPS)
+    return x * inv + (-rolling_mean * inv)
+
+
+def batchnorm_train(x, scales, rolling_mean, rolling_var):
+    """Train-mode batchnorm over NHWC batch+spatial dims.
+
+    Returns (normalized*scale, new_rolling_mean, new_rolling_var,
+             batch_mean, batch_var, x_hat) — the extra values feed the
+    rolling-stat update and (via autodiff) the backward pass.
+    """
+    reduce_axes = tuple(range(x.ndim - 1))  # N,H,W (or N for connected)
+    n = 1
+    for a in reduce_axes:
+        n *= x.shape[a]
+    mean = jnp.mean(x, axis=reduce_axes)
+    # reference uses the unbiased 1/(N-1) estimator (blas.c:101)
+    var = jnp.sum(jnp.square(x - mean), axis=reduce_axes) / max(n - 1, 1)
+    x_hat = (x - mean) / (jnp.sqrt(var) + BN_EPS)
+    new_rm = 0.9 * rolling_mean + 0.1 * mean
+    new_rv = 0.9 * rolling_var + 0.1 * var
+    return x_hat * scales, new_rm, new_rv, mean, var, x_hat
+
+
+def conv_block(x, params, spec, activation_fn, *, train: bool = False,
+               compute_dtype=None):
+    """Full darknet conv layer: conv [+BN] +bias +activation.
+
+    ``params``: dict with 'weights' (HWIO), 'biases' (C,), and when
+    batch_normalize: 'scales', 'rolling_mean', 'rolling_variance'.
+
+    When train=True and BN is on, returns (y, bn_updates) where
+    bn_updates = {'rolling_mean': ..., 'rolling_variance': ...};
+    otherwise returns y alone.
+    """
+    y = conv2d(x, params["weights"], stride=spec.stride, pad=spec.pad,
+               compute_dtype=compute_dtype)
+    bn_updates = None
+    if spec.batch_normalize:
+        if train:
+            y, new_rm, new_rv, _, _, _ = batchnorm_train(
+                y, params["scales"], params["rolling_mean"],
+                params["rolling_variance"])
+            bn_updates = {"rolling_mean": new_rm, "rolling_variance": new_rv}
+        else:
+            y = batchnorm_inference(
+                y, params["scales"], params["rolling_mean"],
+                params["rolling_variance"])
+    y = y + params["biases"]
+    y = activation_fn(y)
+    if train:
+        return y, bn_updates
+    return y
+
+
+def connected(x, params, activation_fn, *, batch_normalize: bool = False,
+              train: bool = False):
+    """Fully-connected layer: y = x @ W^T + b (connected_layer.c forward).
+
+    ``params['weights']`` has darknet layout (outputs, inputs).
+    When train=True and BN on, returns (y, bn_updates).
+    """
+    y = jnp.dot(x, params["weights"].T, preferred_element_type=jnp.float32)
+    bn_updates = None
+    if batch_normalize:
+        if train:
+            y, new_rm, new_rv, _, _, _ = batchnorm_train(
+                y, params["scales"], params["rolling_mean"],
+                params["rolling_variance"])
+            bn_updates = {"rolling_mean": new_rm, "rolling_variance": new_rv}
+        else:
+            y = batchnorm_inference(
+                y, params["scales"], params["rolling_mean"],
+                params["rolling_variance"])
+    y = y + params["biases"]
+    y = activation_fn(y)
+    if train:
+        return y, bn_updates
+    return y
+
+
+def fold_batchnorm(params):
+    """Fold BN into conv weights+bias for inference ('denormalize',
+    convolutional_layer.c:321-334 / darknet.c denormalize_net).
+
+    Returns a new params dict with only 'weights' and 'biases'.
+    """
+    scales = params["scales"]
+    mean = params["rolling_mean"]
+    var = params["rolling_variance"]
+    inv = scales / (jnp.sqrt(var) + BN_EPS)
+    w = params["weights"] * inv[None, None, None, :]
+    b = params["biases"] - mean * inv
+    return {"weights": w, "biases": b}
+
+
+__all__ = [
+    "conv2d", "conv_block", "connected",
+    "batchnorm_inference", "batchnorm_train", "fold_batchnorm", "BN_EPS",
+]

@@ -1,0 +1,80 @@
+"""Pooling ops with darknet-exact geometry, NHWC.
+
+maxpool (maxpool_layer.c:21-114): out = (in + 2*pad)//stride, window
+anchored at -pad, out-of-bounds taps contribute -FLT_MAX. Implemented as
+``lax.reduce_window`` with -inf padding — identical semantics because a
+padded -inf tap can never win the max (every window contains >=1 valid
+pixel for all geometries expressible in cfgs).
+
+avgpool (avgpool_layer.c): global mean over H,W -> (B,1,1,C).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def maxpool(x, *, size: int, stride: int, pad: int):
+    """Darknet maxpool. x: NHWC."""
+    h, w = x.shape[1], x.shape[2]
+    out_h = (h + 2 * pad) // stride
+    out_w = (w + 2 * pad) // stride
+    # right/bottom padding so the last window fits: the reference reads
+    # out-of-bounds taps as -FLT_MAX (maxpool_layer.c:101-103); padding
+    # with -inf reproduces that for both the -pad left offset and the
+    # overhang on the right.
+    pad_b = max(0, (out_h - 1) * stride + size - h - pad)
+    pad_r = max(0, (out_w - 1) * stride + size - w - pad)
+    y = lax.reduce_window(
+        x,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(1, size, size, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (pad, pad_b), (pad, pad_r), (0, 0)),
+    )
+    return y[:, :out_h, :out_w, :]
+
+
+def avgpool_global(x):
+    """Global average pool -> (B, 1, 1, C)."""
+    return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
+def lrn(x, *, size: int, alpha: float, beta: float, kappa: float):
+    """Local response normalization across channels, quirk-exact.
+
+    The reference (normalization_layer.c:66-96) builds the channel-window
+    sum with a running-sum recurrence whose init loop adds channels
+    [0, size//2) — one short of the intended [0, size//2] — while the
+    removal step later subtracts channel size//2 anyway. The net closed
+    form for every output channel k is:
+
+        norms[k] = kappa + alpha * (sum_{j=max(0,k-(size-1)//2)}
+                                        ^{min(c-1,k+size//2)} x[j]^2
+                                    - x[size//2]^2)
+
+    i.e. a standard clipped window sum MINUS the squared activation of
+    fixed channel size//2. We reproduce that exactly; output is
+    x * norms^-beta.
+    """
+    c = x.shape[3]
+    sq = jnp.square(x)
+    h1 = (size - 1) // 2   # taps behind
+    h2 = size // 2         # taps ahead
+    pads = [(0, 0), (0, 0), (0, 0), (h1, h2)]
+    sq_p = jnp.pad(sq, pads)
+    sums = lax.reduce_window(
+        sq_p, 0.0, lax.add,
+        window_dimensions=(1, 1, 1, size),
+        window_strides=(1, 1, 1, 1),
+        padding="VALID",
+    )
+    if h2 < c:
+        sums = sums - sq[:, :, :, h2:h2 + 1]
+    norms = kappa + alpha * sums
+    return x * jnp.power(norms, -beta)
+
+
+__all__ = ["maxpool", "avgpool_global", "lrn"]

@@ -1,0 +1,162 @@
+"""Vectorized TPU ops vs pure-numpy darknet oracles."""
+
+import numpy as np
+import pytest
+
+import darknet_oracle as oracle
+
+from sr_object_detection_tpu.ops import layout as L
+from sr_object_detection_tpu.ops import pooling as P
+from sr_object_detection_tpu.ops import image as I
+from sr_object_detection_tpu.ops import boxes as B
+
+
+def chw_to_nhwc(x):
+    return np.transpose(x, (1, 2, 0))[None]
+
+
+def nhwc_to_chw(x):
+    return np.transpose(np.asarray(x)[0], (2, 0, 1))
+
+
+def test_reorg_matches_darknet():
+    rng = np.random.default_rng(0)
+    w = h = 6
+    c = 8
+    s = 2
+    x = rng.standard_normal((c, h, w)).astype(np.float32)
+    # reference: forward_reorg (reverse=0) = reorg_cpu(..., forward=0),
+    # output consumed as (c*s*s, h//s, w//s)
+    ref_flat = oracle.reorg_cpu(x.ravel(), w, h, c, s, forward=0)
+    ref = ref_flat.reshape(c * s * s, h // s, w // s)
+    got = nhwc_to_chw(L.reorg_darknet(chw_to_nhwc(x), stride=s))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
+def test_reorg_reverse_matches_darknet():
+    rng = np.random.default_rng(1)
+    w = h = 4
+    c = 16
+    s = 2
+    x = rng.standard_normal((c, h, w)).astype(np.float32)
+    # reference: forward_reorg (reverse=1) = reorg_cpu(..., forward=1),
+    # output consumed as (c//s^2, h*s, w*s)
+    ref_flat = oracle.reorg_cpu(x.ravel(), w, h, c, s, forward=1)
+    ref = ref_flat.reshape(c // (s * s), h * s, w * s)
+    got = nhwc_to_chw(L.reorg_reverse_darknet(chw_to_nhwc(x), stride=s))
+    np.testing.assert_allclose(got, ref, atol=0)
+
+
+def test_reorg_yolo_shape():
+    x = np.arange(1 * 26 * 26 * 64, dtype=np.float32).reshape(1, 26, 26, 64)
+    y = L.reorg_darknet(x, stride=2)
+    assert y.shape == (1, 13, 13, 256)
+    ref_flat = oracle.reorg_cpu(
+        np.transpose(x[0], (2, 0, 1)).ravel(), 26, 26, 64, 2, forward=0)
+    ref = ref_flat.reshape(256, 13, 13)
+    np.testing.assert_allclose(nhwc_to_chw(y), ref, atol=0)
+
+
+@pytest.mark.parametrize("h,w,size,stride,pad", [
+    (13, 13, 2, 1, 0),   # tiny-yolo 'same' pool
+    (26, 26, 2, 2, 0),   # standard halving pool
+    (9, 9, 3, 2, 1),     # padded odd pool
+    (7, 7, 2, 2, 1),
+])
+def test_maxpool_matches_darknet(h, w, size, stride, pad):
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((5, h, w)).astype(np.float32)
+    ref = oracle.forward_maxpool(x, size, stride, pad)
+    got = nhwc_to_chw(P.maxpool(chw_to_nhwc(x), size=size, stride=stride,
+                                pad=pad))
+    np.testing.assert_allclose(got, ref, atol=0)
+
+
+@pytest.mark.parametrize("ih,iw,oh,ow", [
+    (11, 17, 416, 416),
+    (416, 416, 13, 13),
+    (5, 5, 5, 5),
+    (1, 7, 4, 4),
+    (32, 48, 448, 448),
+])
+def test_resize_matches_darknet(ih, iw, oh, ow):
+    rng = np.random.default_rng(3)
+    im = rng.random((ih, iw, 3)).astype(np.float32)
+    ref = oracle.resize_image(im, ow, oh)
+    got = I.resize_image_np(im, ow, oh)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+    got_j = np.asarray(I.resize_image(im, ow, oh))
+    np.testing.assert_allclose(got_j, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_letterbox_geometry():
+    im = np.ones((300, 400, 3), np.float32)
+    out = I.letterbox_image_np(im, 416, 416)
+    assert out.shape == (416, 416, 3)
+    # 400x300 -> inner 416x312, vertical bands of 0.5
+    assert np.all(out[:52] == 0.5)
+    assert np.all(out[-52:] == 0.5)
+    assert np.all(out[52:364] == 1.0)
+
+
+def test_lrn_matches_darknet():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((16, 5, 5)).astype(np.float32) * 2
+    ref = oracle.lrn_forward(x, size=5, alpha=1e-4, beta=0.75, kappa=1.0)
+    got = nhwc_to_chw(P.lrn(chw_to_nhwc(x), size=5, alpha=1e-4, beta=0.75,
+                            kappa=1.0))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_nms_matches_darknet():
+    rng = np.random.default_rng(5)
+    n, c = 60, 7
+    boxes = np.stack([
+        rng.uniform(0, 10, n), rng.uniform(0, 10, n),
+        rng.uniform(0.5, 3, n), rng.uniform(0.5, 3, n)], axis=1
+    ).astype(np.float32)
+    probs = rng.uniform(0, 1, (n, c)).astype(np.float32)
+    probs[probs < 0.4] = 0.0
+    ref = oracle.nms_sort(boxes, probs, 0.45)
+    got = np.asarray(B.nms_sort(boxes, probs, 0.45))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+    got_topk = np.asarray(B.nms_sort_topk(boxes, probs, 0.45, k=n))
+    np.testing.assert_allclose(got_topk, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_box_iou_matches():
+    a = np.array([2.0, 2.0, 2.0, 2.0], np.float32)
+    b = np.array([3.0, 3.0, 2.0, 2.0], np.float32)
+    got = float(B.box_iou(a, b))
+    assert abs(got - 1.0 / 7.0) < 1e-6
+    # disjoint
+    c = np.array([10.0, 10.0, 1.0, 1.0], np.float32)
+    assert float(B.box_iou(a, c)) == 0.0
+
+
+def test_grouped_softmax_vs_per_group():
+    rng = np.random.default_rng(6)
+    sizes = [3, 5, 2, 9]
+    group_ids = np.concatenate([[g] * s for g, s in enumerate(sizes)])
+    x = rng.standard_normal(sum(sizes)).astype(np.float32)
+    got = np.asarray(B.grouped_softmax(x[None], group_ids))[0]
+    off = 0
+    for s in sizes:
+        np.testing.assert_allclose(
+            got[off:off + s], oracle.softmax(x[off:off + s]),
+            rtol=1e-5, atol=1e-6)
+        off += s
+
+
+def test_hierarchy_multiply_matches():
+    rng = np.random.default_rng(7)
+    #       0
+    #      / \
+    #     1   2
+    #    /|   |
+    #   3 4   5
+    parent = np.array([-1, 0, 0, 1, 1, 2], np.int32)
+    p = rng.uniform(0.1, 1.0, 6).astype(np.float32)
+    ref = oracle.hierarchy_predictions(p, parent)
+    got = np.asarray(B.hierarchy_multiply(p, parent))
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
