@@ -7,11 +7,20 @@ jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even if the outer environment pins another platform: parity
+# tests need fp32 math (TPU matmuls default to bf16 inputs) and the
+# virtual 8-device mesh only exists on the host platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# jax may already be imported (and its config frozen from the ambient
+# JAX_PLATFORMS) by the interpreter's sitecustomize — override directly.
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -1,0 +1,68 @@
+"""Full-network numeric parity vs reference C golden tensors.
+
+Goldens were produced by tools/make_golden.py: deterministic weights
+(our init, seed-stable) written as .weights, loaded by the reference C
+CPU binary, forward on a fixed input, output dumped. Here we rebuild the
+same network from the same seed and assert the TPU-native forward
+matches within float tolerance.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from sr_object_detection_tpu.config import parse_cfg_text
+from sr_object_detection_tpu.graph import spec as S
+from sr_object_detection_tpu.graph.compiler import build_forward
+from sr_object_detection_tpu.io.weights import init_params
+from sr_object_detection_tpu.ops.layout import nhwc_to_flat
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+MINI_CASES = ["mini_conv", "mini_route_reorg", "mini_region",
+              "mini_connected", "mini_lrn", "mini_crop"]
+FULL_CASES = ["tiny_yolo_voc", "yolo_coco_416"]
+
+
+def _load(name):
+    p = GOLDEN / f"{name}.npz"
+    if not p.exists():
+        pytest.skip(f"golden {name} not generated")
+    return np.load(p)
+
+
+def _run(name, tol):
+    g = _load(name)
+    cfg_text = bytes(g["cfg"]).decode()
+    net = S.build_network_spec(parse_cfg_text(cfg_text))
+    params = init_params(net, seed=int(g["seed"]))
+    fwd = build_forward(net)
+    x = np.transpose(g["input_chw"], (1, 2, 0))[None]  # CHW -> NHWC
+    out, aux = fwd(params, x, keep_all=True)
+    out = np.asarray(nhwc_to_flat(out) if out.ndim == 4 else out)[0]
+    ref = g["output"]
+    assert out.shape == ref.shape, (out.shape, ref.shape)
+
+    # per-layer diagnosis when intermediate dumps exist
+    for i, l in enumerate(net.layers):
+        key = f"layer_{i}"
+        if key not in g:
+            continue
+        mine = aux["outputs"][i]
+        mine = np.asarray(nhwc_to_flat(mine) if mine.ndim == 4 else mine)[0]
+        np.testing.assert_allclose(
+            mine, g[key], rtol=tol, atol=tol,
+            err_msg=f"{name}: layer {i} ({l.kind}) diverges")
+
+    np.testing.assert_allclose(out, ref, rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("name", MINI_CASES)
+def test_mini_parity(name):
+    _run(name, tol=2e-5)
+
+
+@pytest.mark.parametrize("name", FULL_CASES)
+def test_full_network_parity(name):
+    _run(name, tol=2e-4)

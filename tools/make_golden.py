@@ -1,0 +1,312 @@
+"""Generate golden parity tensors from the reference C CPU oracle.
+
+Builds deterministic random weights with our init (seed-stable numpy),
+writes them as a darknet .weights file, runs the reference oracle binary
+(compiled from /root/reference/src_yolo2 in a scratch dir) on a
+deterministic input, and stores {cfg text, seed, input, output} as an
+.npz under tests/golden/. The test suite then re-runs our TPU forward
+from the same seed and asserts numeric parity — without ever needing the
+C toolchain again.
+
+Usage: python tools/make_golden.py <oracle_binary>
+"""
+
+from __future__ import annotations
+
+import pathlib
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from sr_object_detection_tpu.config import parse_cfg_text
+from sr_object_detection_tpu.graph import spec as S
+from sr_object_detection_tpu.io.weights import init_params, save_weights
+
+GOLDEN = REPO / "tests" / "golden"
+
+MINI_CONV = """
+[net]
+batch=1
+height=16
+width=16
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+filters=10
+size=1
+stride=1
+pad=1
+activation=linear
+
+[avgpool]
+
+[softmax]
+groups=1
+"""
+
+MINI_ROUTE_REORG = """
+[net]
+batch=1
+height=16
+width=16
+channels=4
+
+[convolutional]
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[route]
+layers=-2
+
+[reorg]
+stride=2
+
+[route]
+layers=-1,-3
+
+[convolutional]
+filters=8
+size=1
+stride=1
+activation=leaky
+
+[shortcut]
+from=-4
+activation=leaky
+"""
+
+MINI_REGION = """
+[net]
+batch=1
+height=32
+width=32
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+filters=30
+size=1
+stride=1
+pad=1
+activation=linear
+
+[region]
+anchors=1.08,1.19, 3.42,4.41, 6.63,11.38
+bias_match=1
+classes=5
+coords=4
+num=3
+softmax=1
+jitter=.2
+rescore=1
+object_scale=5
+noobject_scale=1
+class_scale=1
+coord_scale=1
+absolute=1
+thresh=.6
+"""
+
+MINI_CONNECTED = """
+[net]
+batch=1
+height=8
+width=8
+channels=3
+
+[convolutional]
+filters=6
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[connected]
+output=32
+activation=leaky
+
+[dropout]
+probability=.5
+
+[connected]
+output=10
+activation=linear
+
+[softmax]
+groups=1
+"""
+
+MINI_LRN = """
+[net]
+batch=1
+height=8
+width=8
+channels=16
+
+[convolutional]
+filters=16
+size=1
+stride=1
+activation=relu
+
+[lrn]
+size=5
+alpha=.0001
+beta=.75
+kappa=1
+
+[avgpool]
+"""
+
+MINI_CROP = """
+[net]
+batch=1
+height=16
+width=16
+channels=3
+
+[crop]
+crop_width=12
+crop_height=12
+flip=0
+angle=0
+saturation=1
+exposure=1
+
+[convolutional]
+filters=4
+size=3
+stride=1
+pad=1
+activation=ramp
+
+[avgpool]
+"""
+
+CASES = {
+    "mini_conv": MINI_CONV,
+    "mini_route_reorg": MINI_ROUTE_REORG,
+    "mini_region": MINI_REGION,
+    "mini_connected": MINI_CONNECTED,
+    "mini_lrn": MINI_LRN,
+    "mini_crop": MINI_CROP,
+}
+
+REAL_CFGS = {
+    "tiny_yolo_voc": "/root/reference/cfg/tiny-yolo-voc.cfg",
+    "yolo_coco_416": "/root/reference/cfg/yolo.cfg",
+}
+
+
+def gen_case(name: str, cfg_text: str, oracle: str, seed: int = 0,
+             dump_layers: bool = False):
+    net = S.build_network_spec(parse_cfg_text(cfg_text))
+    params = init_params(net, seed=seed)
+    rng = np.random.default_rng(seed + 1000)
+    x_chw = rng.uniform(0, 1, (net.net.c, net.net.h, net.net.w)
+                        ).astype(np.float32)
+
+    with tempfile.TemporaryDirectory() as td:
+        td = pathlib.Path(td)
+        wfile = td / "w.weights"
+        save_weights(net, params, str(wfile))
+        cfg_file = td / "net.cfg"
+        cfg_file.write_text(cfg_text)
+        (td / "in.bin").write_bytes(x_chw.tobytes())
+        prefix = str(td / "layer_") if dump_layers else None
+        cmd = [oracle, str(cfg_file), str(wfile), str(td / "in.bin"),
+               str(td / "out.bin")]
+        if prefix:
+            cmd.append(prefix)
+        subprocess.run(cmd, check=True, capture_output=True)
+        out = np.frombuffer((td / "out.bin").read_bytes(), dtype="<f4").copy()
+        layer_outs = {}
+        if dump_layers:
+            for i, l in enumerate(net.layers):
+                p = td / f"layer_{i}.bin"
+                if p.exists():
+                    layer_outs[f"layer_{i}"] = np.frombuffer(
+                        p.read_bytes(), dtype="<f4").copy()
+
+    GOLDEN.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        GOLDEN / f"{name}.npz",
+        cfg=np.frombuffer(cfg_text.encode(), dtype=np.uint8),
+        seed=np.int64(seed),
+        input_chw=x_chw,
+        output=out,
+        **layer_outs,
+    )
+    print(f"{name}: output[{out.shape[0]}] "
+          f"range [{out.min():.4f}, {out.max():.4f}]")
+
+
+def main():
+    oracle = sys.argv[1] if len(sys.argv) > 1 else "/tmp/refbuild/oracle"
+    for name, cfg in CASES.items():
+        gen_case(name, cfg, oracle, dump_layers=True)
+    for name, path in REAL_CFGS.items():
+        cfg_text = pathlib.Path(path).read_text()
+        gen_case(name, cfg_text, oracle, dump_layers=False)
+
+
+if __name__ == "__main__":
+    main()
