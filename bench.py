@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Headline benchmark: tiny-yolo-voc 416x416 images/sec on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline = value / 5000 (the driver target from BASELINE.json).
+Extra context lines go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sr_object_detection_tpu.models.zoo import tiny_yolo_voc
+from sr_object_detection_tpu.io.weights import init_params
+from sr_object_detection_tpu.infer.engine import (
+    ThroughputEngine, LatencyEngine, analytic_flops)
+
+TARGET = 5000.0  # images/sec/chip (BASELINE.json north star)
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    spec = tiny_yolo_voc()
+    params = init_params(spec, seed=0)
+    flops = analytic_flops(spec)
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    print(f"analytic FLOPs/img: {flops/1e9:.2f} G", file=sys.stderr)
+
+    eng = ThroughputEngine(spec, params, batch=batch, dtype=jnp.bfloat16)
+    t0 = time.perf_counter()
+    eng.warmup()
+    print(f"compile+warmup: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    r = eng.benchmark(iters=30)
+    ips = r["images_per_sec"]
+    mfu_denom = 394e12  # v5e bf16 peak FLOPs/s
+    print(f"throughput: {ips:.0f} img/s (batch {batch}), "
+          f"{ips*flops/1e12:.1f} TFLOP/s, "
+          f"~{100*ips*flops/mfu_denom:.0f}% of v5e bf16 peak",
+          file=sys.stderr)
+
+    try:
+        lat = LatencyEngine(spec, params, dtype=jnp.bfloat16)
+        lat.warmup()
+        lr = lat.benchmark(iters=50)
+        print(f"batch-1 latency p50={lr['p50_ms']:.2f}ms "
+              f"p99={lr['p99_ms']:.2f}ms", file=sys.stderr)
+    except Exception as e:  # latency path must not sink the headline
+        print(f"latency bench skipped: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "tiny-yolo-voc-416 images/sec/chip",
+        "value": round(ips, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / TARGET, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""End-to-end detection pipeline: preprocess -> forward -> decode -> NMS.
+
+The TPU-native analog of the reference's ``test_detector``
+(src_yolo2/detector.c:454-512) and the C++ DLL ``Detector`` class
+(src_yolo2/yolo_v2_class.cpp:173-249): one jitted device program runs
+resize + network + region decode + class-prob NMS; only the final
+thresholded detections return to the host.
+
+Parity notes:
+  * the v2 detector path uses PLAIN resize, not letterbox
+    (detector.c:483 resize_image) — letterbox is opt-in (classifier and
+    v3-style pipelines);
+  * probs are objectness*class, zeroed at `thresh` BEFORE NMS
+    (region_layer.c:368-373), NMS zeroes per class at IoU>nms
+    (box.c:249-277), and a final per-box argmax picks the reported
+    class (image.c draw_detections).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import read_names, read_map
+from ..graph import spec as S
+from ..graph.compiler import CompiledNetwork
+from ..io.weights import load_weights, init_params
+from ..ops import boxes as B
+from ..ops import image as I
+
+
+@dataclasses.dataclass
+class Detection:
+    box: tuple[float, float, float, float]   # (x, y, w, h) center, relative
+    class_id: int
+    prob: float
+    name: Optional[str] = None
+
+
+class Detector:
+    """Load a cfg+weights pair and run single/batched detection."""
+
+    def __init__(self, cfg_path: str, weights_path: Optional[str] = None,
+                 *, names: Optional[Sequence[str]] = None,
+                 compute_dtype=None, letterbox: bool = False,
+                 map_path: Optional[str] = None,
+                 nms_topk: int = 128):
+        self.spec = S.parse_network_cfg(cfg_path)
+        self.compiled = CompiledNetwork(self.spec, compute_dtype=compute_dtype)
+        if weights_path:
+            self.params, self.seen = load_weights(self.spec, weights_path)
+        else:
+            self.params, self.seen = init_params(self.spec), 0
+        self.params = jax.tree.map(jnp.asarray, self.params)
+        self.names = list(names) if names else None
+        self.letterbox = letterbox
+        self.nms_topk = nms_topk
+
+        region = self.spec.layers[-1]
+        if not isinstance(region, S.RegionSpec):
+            raise ValueError("Detector requires a [region] final layer")
+        self.region = region
+        self.tree = self.compiled.trees.get(len(self.spec.layers) - 1)
+        self.class_map = read_map(map_path) if map_path else None
+
+        self._predict = jax.jit(partial(self._predict_impl, train=False))
+
+    # ------------------------------------------------------------------
+    def _predict_impl(self, params, x, *, train=False):
+        """x: (B, net_h, net_w, 3) preprocessed. Returns (boxes, probs):
+        boxes (B, N, 4) relative; probs (B, N, classes)."""
+        out, _ = self.compiled.forward(params, x)
+        r = self.region
+        nf = r.coords + r.classes + 1
+        acts = out.reshape(x.shape[0], r.h, r.w, r.n, nf)
+        boxes = B.decode_region_boxes(
+            acts, np.asarray(r.anchors).reshape(r.n, 2), img_w=1.0, img_h=1.0)
+        obj = acts[..., 4]
+        cls = acts[..., 5:]
+        if self.tree is not None:
+            cls = B.hierarchy_multiply(cls, self.tree.parent)
+            if self.class_map is not None:
+                cls = cls[..., jnp.asarray(self.class_map)]
+            else:
+                cls = _hierarchy_walk(cls)
+        if r.classfix == -1:
+            obj = jnp.where(obj < 0.5, 0.0, obj)
+        probs = obj[..., None] * cls
+        b = x.shape[0]
+        return boxes.reshape(b, -1, 4), probs.reshape(b, -1, probs.shape[-1])
+
+    def predict_batch(self, x_nhwc):
+        """Raw device prediction on preprocessed input."""
+        return self._predict(self.params, x_nhwc)
+
+    # ------------------------------------------------------------------
+    def preprocess(self, image_hwc: np.ndarray) -> np.ndarray:
+        h, w = self.spec.net.h, self.spec.net.w
+        if self.letterbox:
+            return I.letterbox_image_np(image_hwc, w, h)
+        return I.resize_image_np(image_hwc, w, h)
+
+    def detect(self, image_hwc: np.ndarray, *, thresh: float = 0.24,
+               nms: float = 0.4, hier_thresh: float = 0.5
+               ) -> list[Detection]:
+        """Full single-image pipeline (test_detector semantics:
+        thresh .24 default, nms .4 — detector.c:455,466)."""
+        x = self.preprocess(image_hwc)[None]
+        boxes, probs = self.predict_batch(jnp.asarray(x))
+        boxes = np.asarray(boxes[0])
+        probs = np.asarray(probs[0])
+        probs = np.where(probs > thresh, probs, 0.0)
+        if nms > 0:
+            probs = np.asarray(B.nms_sort_topk(
+                jnp.asarray(boxes), jnp.asarray(probs), nms,
+                k=min(self.nms_topk, probs.shape[0])))
+        return self._collect(boxes, probs, thresh)
+
+    def _collect(self, boxes, probs, thresh) -> list[Detection]:
+        dets = []
+        cls = probs.argmax(axis=1)
+        p = probs[np.arange(len(cls)), cls]
+        for i in np.nonzero(p > thresh)[0]:
+            name = None
+            if self.names:
+                name = self.names[int(cls[i])]
+            dets.append(Detection(
+                box=tuple(float(v) for v in boxes[i]),
+                class_id=int(cls[i]), prob=float(p[i]), name=name))
+        dets.sort(key=lambda d: -d.prob)
+        return dets
+
+
+def _hierarchy_walk(path_probs):
+    """get_region_boxes' deepest-confident-node walk
+    (region_layer.c:356-366): scanning classes from last to first, keep
+    only the first (highest-index) class whose path-prob > .5; zero all
+    others. If none exceeds .5 everything is zeroed."""
+    c = path_probs.shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, path_probs.shape,
+                                   path_probs.ndim - 1)
+    masked = jnp.where(path_probs > 0.5, idx, -1)
+    top = jnp.max(masked, axis=-1, keepdims=True)
+    return jnp.where(idx == top, path_probs, 0.0)
+
+
+__all__ = ["Detector", "Detection"]

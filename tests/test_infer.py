@@ -1,0 +1,95 @@
+"""Inference pipeline tests: detector decode path, engines, zoo."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sr_object_detection_tpu.models import zoo
+from sr_object_detection_tpu.graph import spec as S
+from sr_object_detection_tpu.io.weights import init_params
+from sr_object_detection_tpu.infer.engine import (
+    ThroughputEngine, LatencyEngine, analytic_flops,
+    fold_params_for_inference)
+from sr_object_detection_tpu.graph.compiler import build_forward
+
+
+def test_zoo_tiny_yolo_matches_reference_cfg(ref_cfg_dir):
+    ours = zoo.tiny_yolo_voc()
+    ref = S.parse_network_cfg(str(ref_cfg_dir / "tiny-yolo-voc.cfg"))
+    assert len(ours.layers) == len(ref.layers)
+    for a, b in zip(ours.layers, ref.layers):
+        assert type(a) is type(b)
+        assert (a.out_h, a.out_w, a.out_c) == (b.out_h, b.out_w, b.out_c)
+    ra, rb = ours.layers[-1], ref.layers[-1]
+    assert ra.anchors == rb.anchors
+    assert ra.classes == rb.classes
+
+
+def test_zoo_yolov2_matches_reference_cfg(ref_cfg_dir):
+    ours = zoo.yolov2(width=416, height=416)
+    ref = S.parse_network_cfg(str(ref_cfg_dir / "yolo.cfg"))
+    assert len(ours.layers) == len(ref.layers)
+    for a, b in zip(ours.layers, ref.layers):
+        assert type(a) is type(b), (a.index, a.kind, b.kind)
+        assert (a.out_h, a.out_w, a.out_c) == (b.out_h, b.out_w, b.out_c)
+
+
+def test_zoo_darknet19_matches_reference_cfg(ref_cfg_dir):
+    ours = zoo.darknet19()
+    ref = S.parse_network_cfg(str(ref_cfg_dir / "darknet19.cfg"))
+    assert len(ours.layers) == len(ref.layers)
+    for a, b in zip(ours.layers, ref.layers):
+        assert type(a) is type(b)
+        assert a.outputs == b.outputs
+
+
+def test_bn_folding_preserves_outputs():
+    spec = zoo.tiny_yolo_voc(width=96, height=96)
+    params = init_params(spec, seed=3)
+    # make BN stats non-trivial
+    rng = np.random.default_rng(0)
+    for p, l in zip(params, spec.layers):
+        if isinstance(l, S.ConvSpec) and l.batch_normalize:
+            p["rolling_mean"] = rng.normal(0, 1, l.filters).astype(np.float32)
+            p["rolling_variance"] = rng.uniform(
+                0.5, 2, l.filters).astype(np.float32)
+            p["scales"] = rng.uniform(0.5, 2, l.filters).astype(np.float32)
+    fwd = build_forward(spec)
+    x = rng.uniform(0, 1, (1, 96, 96, 3)).astype(np.float32)
+    ref, _ = fwd(params, x)
+
+    fparams, fspec = fold_params_for_inference(spec, params,
+                                               dtype=jnp.float32)
+    ffwd = build_forward(fspec)
+    got, _ = ffwd(fparams, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_throughput_engine_runs_small():
+    spec = zoo.tiny_yolo_voc(width=96, height=96)
+    params = init_params(spec, seed=0)
+    eng = ThroughputEngine(spec, params, batch=2, dtype=jnp.float32)
+    eng.warmup()
+    out = eng(jnp.zeros(eng.input_shape, jnp.float32))
+    assert out.shape[0] == 2
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_latency_engine_topk_contract():
+    spec = zoo.tiny_yolo_voc(width=96, height=96)
+    params = init_params(spec, seed=0)
+    eng = LatencyEngine(spec, params, dtype=jnp.float32)
+    eng.warmup()
+    frame = np.random.randint(0, 255, eng.frame_shape, np.uint8)
+    boxes, probs = eng(frame)
+    assert boxes.shape[1] == 4
+    assert probs.shape[0] == boxes.shape[0] <= 64
+    assert np.isfinite(np.asarray(boxes)).all()
+
+
+def test_analytic_flops_tiny_yolo():
+    spec = zoo.tiny_yolo_voc()
+    g = analytic_flops(spec) / 1e9
+    assert 6.5 < g < 7.5  # ~6.97 GFLOPs, matches darknet 'ops'
