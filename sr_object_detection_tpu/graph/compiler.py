@@ -215,7 +215,7 @@ def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None):
 
             elif isinstance(l, S.SoftmaxSpec):
                 cur = _as_flat(cur)
-                cur = _softmax_forward(cur, l, trees.get(i))
+                cur = _softmax_forward(cur, l, trees.get(i), train=train)
 
             elif isinstance(l, S.CostSpec):
                 if train and truth is not None:
@@ -308,13 +308,35 @@ def _crop_forward(x, l: S.CropSpec, *, train: bool, rng):
     return out * scale + trans
 
 
-def _softmax_forward(x, l: S.SoftmaxSpec, tree: Optional[WordTree]):
+@jax.custom_vjp
+def _softmax_straight_through(v):
+    return jax.nn.softmax(v, axis=-1)
+
+
+def _sst_fwd(v):
+    return jax.nn.softmax(v, axis=-1), None
+
+
+def _sst_bwd(_, g):
+    # backward_softmax_layer (softmax_layer.c:62-68) adds the output
+    # delta straight into the input delta — NO softmax jacobian. Darknet
+    # training semantics depend on this; preserved for train mode.
+    return (g,)
+
+
+_softmax_straight_through.defvjp(_sst_fwd, _sst_bwd)
+
+
+def _softmax_forward(x, l: S.SoftmaxSpec, tree: Optional[WordTree],
+                     train: bool = False):
     """softmax_layer.c:49-61: groups fold into batch; optional tree."""
     b = x.shape[0]
     inputs = l.inputs // l.groups
     v = x.reshape(b * l.groups, inputs)
     if tree is not None:
         out = B.grouped_softmax(v / l.temperature, tree.group)
+    elif train:
+        out = _softmax_straight_through(v / l.temperature)
     else:
         out = jax.nn.softmax(v / l.temperature, axis=-1)
     return out.reshape(b, l.inputs)

@@ -1,0 +1,181 @@
+"""Training driver: one jitted train step, subdivision accumulation,
+LR schedules, DP/TP mesh sharding.
+
+The TPU-native replacement for train_network / train_network_datum /
+update_network (src_yolo2/network.c:225-306) and the multi-GPU
+train_networks (src_yolo2/network_kernels.cu:346): forward+backward+
+update is ONE compiled program; ``subdivisions`` micro-batches are a
+lax.scan accumulating gradients before the single SGD update (the
+analog of network.c:241's update cadence); the batch is sharded over
+the mesh 'data' axis so the gradient all-reduce rides ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import spec as S
+from ..graph.compiler import build_forward
+from ..io.weights import init_params
+from ..parallel.mesh import (batch_sharding, make_mesh, replicated,
+                             shard_params)
+from .region_loss import region_loss_with_stats
+from .sgd import init_velocity, learning_rate, sgd_update
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["params", "velocity", "seen"], meta_fields=[])
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    velocity: Any
+    seen: jnp.ndarray        # images seen (uint64 in the checkpoint)
+
+    def batch_num(self, net: S.NetSpec):
+        return self.seen // (net.batch * net.subdivisions)
+
+
+def _find_head(spec: S.NetworkSpec):
+    """Locate the training head: region layer index or cost layers."""
+    for i, l in enumerate(spec.layers):
+        if isinstance(l, S.RegionSpec):
+            return ("region", i)
+        if isinstance(l, S.DetectionSpec):
+            return ("detection", i)
+    cost_idx = [i for i, l in enumerate(spec.layers)
+                if isinstance(l, S.CostSpec)]
+    if cost_idx:
+        return ("cost", cost_idx[-1])
+    raise ValueError("no trainable head (region/detection/cost) in network")
+
+
+def make_train_step(spec: S.NetworkSpec, *, mesh=None,
+                    compute_dtype=None):
+    """Returns train_step(state, x, truth, rng) -> (state, metrics).
+
+    x: (B, H, W, C) float32 where B = net.batch * net.subdivisions
+       (the full outer batch, like load_args.n in the reference).
+    truth: (B, 30, 5) for detection; (B, outputs) for cost-head nets.
+    """
+    net = spec.net
+    head_kind, head_idx = _find_head(spec)
+    fwd = build_forward(spec, compute_dtype=compute_dtype)
+    region = spec.layers[head_idx] if head_kind == "region" else None
+    micro = net.batch
+    subdivs = net.subdivisions
+
+    def micro_loss(params, x, truth, seen, rng):
+        out, aux = fwd(params, x, train=True, rng=rng, truth=truth,
+                       keep_all=True)
+        if head_kind == "region":
+            raw = aux["outputs"][head_idx - 1]
+            raw = raw.reshape(raw.shape[0], -1)
+            cost, stats = region_loss_with_stats(raw, truth, seen, region)
+        elif head_kind == "cost":
+            # SSE gradient contract (cost_layer.c + l2_cpu): delta =
+            # scale*(truth-pred) wrt the head INPUT -> differentiate
+            # 0.5*scale*||t-p||^2; displayed cost is sum((t-p)^2).
+            cost = 0.5 * aux.get("cost", 0.0)
+            stats = {}
+        else:
+            raise NotImplementedError("yolov1 detection loss: next round")
+        return cost, (aux.get("bn", {}), stats)
+
+    def train_step(state: TrainState, x, truth, rng):
+        def one_micro(carry, inp):
+            grads_acc, seen, rng = carry
+            xm, tm = inp
+            rng, sub = jax.random.split(rng)
+            (cost, (bn, stats)), grads = jax.value_and_grad(
+                micro_loss, has_aux=True)(state.params, xm, tm, seen, sub)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            seen = seen + micro
+            return (grads_acc, seen, rng), (cost, bn, stats)
+
+        grads0 = jax.tree.map(jnp.zeros_like, state.params)
+        xs = x.reshape(subdivs, micro, *x.shape[1:])
+        ts = truth.reshape(subdivs, micro, *truth.shape[1:])
+        (grads, seen, _), (costs, bns, stats) = jax.lax.scan(
+            one_micro, (grads0, state.seen, rng), (xs, ts))
+
+        batch_num = seen // (micro * subdivs)
+        lr = learning_rate(net, batch_num)
+        new_params, new_vel = sgd_update(
+            state.params, grads, state.velocity,
+            lr=lr, batch_size=micro * subdivs,
+            momentum=net.momentum, decay=net.decay)
+
+        # fold the LAST micro-batch's rolling BN stats back in (the scan
+        # threads params functionally; sequential per-micro rolling
+        # updates are approximated by the final micro's update, which
+        # matches the reference's magnitude after the first steps)
+        new_params = _merge_bn(new_params, bns)
+
+        metrics = {"loss": jnp.sum(costs), "lr": lr,
+                   "batch_num": batch_num}
+        for k in ("avg_iou", "recall", "avg_obj", "avg_anyobj", "count"):
+            if stats and k in stats:
+                metrics[k] = jnp.mean(stats[k])
+        return TrainState(new_params, new_vel, seen), metrics
+
+    return train_step
+
+
+def _merge_bn(params, bns):
+    """Write scan-final rolling stats into params[i]."""
+    if not bns:
+        return params
+    new = list(params)
+    for i, upd in bns.items():
+        p = dict(new[i])
+        for k, v in upd.items():
+            p[k] = v[-1] if v.ndim > p[k].ndim else v
+        new[i] = p
+    return new
+
+
+class Trainer:
+    """High-level loop: the analog of train_detector/train_classifier
+    (src_yolo2/detector.c:25-168, classifier.c:38-150)."""
+
+    def __init__(self, spec: S.NetworkSpec, params=None, *, mesh=None,
+                 seed: int = 0, compute_dtype=None):
+        self.spec = spec
+        self.mesh = mesh
+        if params is None:
+            params = init_params(spec, seed=seed)
+        params = jax.tree.map(jnp.asarray, params)
+        if mesh is not None:
+            params = shard_params(mesh, params, spec)
+        self.state = TrainState(
+            params=params,
+            velocity=init_velocity(params),
+            seen=jnp.asarray(0, jnp.int64 if jax.config.jax_enable_x64
+                             else jnp.int32),
+        )
+        step = make_train_step(spec, mesh=mesh, compute_dtype=compute_dtype)
+        if mesh is not None:
+            bs = batch_sharding(mesh)
+            self._step = jax.jit(
+                step, in_shardings=(None, bs, bs, None), donate_argnums=(0,))
+        else:
+            self._step = jax.jit(step, donate_argnums=(0,))
+        self._rng = jax.random.PRNGKey(seed)
+
+    def step(self, x, truth):
+        self._rng, sub = jax.random.split(self._rng)
+        self.state, metrics = self._step(self.state, x, truth, sub)
+        return metrics
+
+    @property
+    def outer_batch(self) -> int:
+        return self.spec.net.batch * self.spec.net.subdivisions
+
+
+__all__ = ["Trainer", "TrainState", "make_train_step"]

@@ -1,0 +1,85 @@
+"""Training parity vs the reference C oracle: N SGD steps, compare
+final weights and per-step costs.
+
+Covers: region loss deltas (incl. the softmax-as-identity class-delta
+quirk), SGD+momentum+decay cadence, subdivision gradient accumulation,
+train-mode batchnorm, and the straight-through classifier softmax.
+"""
+
+import pathlib
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+
+from sr_object_detection_tpu.config import parse_cfg_text
+from sr_object_detection_tpu.graph import spec as S
+from sr_object_detection_tpu.io.weights import init_params, load_weights
+from sr_object_detection_tpu.train.trainer import Trainer
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+
+def _load(name):
+    p = GOLDEN / f"{name}.npz"
+    if not p.exists():
+        pytest.skip(f"golden {name} not generated")
+    return np.load(p)
+
+
+def _train_and_compare(name, *, wtol, ctol, truth_kind="region"):
+    g = _load(name)
+    cfg_text = bytes(g["cfg"]).decode()
+    net = S.build_network_spec(parse_cfg_text(cfg_text))
+    steps = int(g["steps"])
+    x = np.transpose(g["x_chw"], (0, 2, 3, 1)).copy()   # NCHW->NHWC
+    truth = g["truth"].astype(np.float32)
+
+    trainer = Trainer(net, params=init_params(net, seed=int(g["seed"])))
+    costs = []
+    for _ in range(steps):
+        m = trainer.step(x, truth)
+        costs.append(float(m["loss"]))
+
+    # reference weights after `steps` updates
+    with tempfile.NamedTemporaryFile(suffix=".weights") as f:
+        f.write(bytes(g["weights_after"]))
+        f.flush()
+        ref_params, seen = load_weights(net, f.name)
+    assert seen == steps * net.net.batch * net.net.subdivisions
+
+    mine = jax.tree.map(np.asarray, trainer.state.params)
+    for i, l in enumerate(net.layers):
+        if not ref_params[i]:
+            continue
+        for k, ref in ref_params[i].items():
+            got = mine[i][k]
+            np.testing.assert_allclose(
+                got, ref, rtol=wtol, atol=wtol,
+                err_msg=f"{name}: layer {i} ({l.kind}) param {k}")
+
+    ref_costs = g["costs"].reshape(steps, -1).sum(axis=1)
+    if truth_kind == "classifier":
+        # our loss is the gradient-consistent 0.5*scale*||t-p||^2; the
+        # reference displays sum((t-p)^2)
+        costs = [2 * c for c in costs]
+    np.testing.assert_allclose(costs, ref_costs, rtol=ctol,
+                               err_msg=f"{name}: cost trajectory")
+
+
+def test_train_region_no_bn():
+    _train_and_compare("train_region_nobn", wtol=1e-4, ctol=1e-3)
+
+
+def test_train_region_bn():
+    # darknet's hand-written BN backward is not the exact gradient of its
+    # forward (eps placement differs: blas.c:122 vs batchnorm_layer.c:105);
+    # we use the true gradient, so allow a slightly looser tolerance
+    _train_and_compare("train_region_bn", wtol=5e-3, ctol=5e-3)
+
+
+def test_train_classifier_subdivisions():
+    _train_and_compare("train_classifier", wtol=1e-4, ctol=1e-3,
+                       truth_kind="classifier")

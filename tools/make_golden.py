@@ -310,3 +310,163 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# Training-parity goldens: N SGD steps in the reference, dump weights
+# ---------------------------------------------------------------------------
+
+TRAIN_REGION_NOBN = """
+[net]
+batch=2
+subdivisions=1
+height=32
+width=32
+channels=3
+momentum=0.9
+decay=0.0005
+learning_rate=0.001
+max_batches=100
+policy=constant
+
+[convolutional]
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+filters=30
+size=1
+stride=1
+pad=1
+activation=linear
+
+[region]
+anchors=1.08,1.19, 3.42,4.41, 6.63,11.38
+bias_match=1
+classes=5
+coords=4
+num=3
+softmax=1
+rescore=1
+object_scale=5
+noobject_scale=1
+class_scale=1
+coord_scale=1
+thresh=.6
+"""
+
+TRAIN_REGION_BN = TRAIN_REGION_NOBN.replace(
+    "[convolutional]\nfilters=8", "[convolutional]\nbatch_normalize=1\nfilters=8"
+).replace(
+    "[convolutional]\nfilters=16", "[convolutional]\nbatch_normalize=1\nfilters=16")
+
+TRAIN_CLASSIFIER = """
+[net]
+batch=2
+subdivisions=2
+height=16
+width=16
+channels=3
+momentum=0.9
+decay=0.0005
+learning_rate=0.01
+max_batches=100
+policy=constant
+
+[convolutional]
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+filters=10
+size=1
+stride=1
+pad=1
+activation=leaky
+
+[avgpool]
+
+[softmax]
+groups=1
+
+[cost]
+type=sse
+"""
+
+
+def gen_train_case(name: str, cfg_text: str, oracle_train: str,
+                   steps: int = 2, seed: int = 0, with_truth: str = "region"):
+    net = S.build_network_spec(parse_cfg_text(cfg_text))
+    params = init_params(net, seed=seed)
+    rng = np.random.default_rng(seed + 2000)
+    outer = net.net.batch * net.net.subdivisions
+    x = rng.uniform(0, 1, (outer, net.net.c, net.net.h, net.net.w)
+                    ).astype(np.float32)
+    if with_truth == "region":
+        truths = 30 * 5
+        truth = np.zeros((outer, 30, 5), np.float32)
+        for b in range(outer):
+            nbox = 1 + int(rng.integers(0, 3))
+            for t in range(nbox):
+                truth[b, t] = [rng.uniform(0.2, 0.8), rng.uniform(0.2, 0.8),
+                               rng.uniform(0.05, 0.4), rng.uniform(0.05, 0.4),
+                               int(rng.integers(0, 5))]
+        truth_flat = truth.reshape(outer, truths)
+    else:
+        n_out = net.outputs
+        cls = rng.integers(0, n_out, outer)
+        truth_flat = np.zeros((outer, n_out), np.float32)
+        truth_flat[np.arange(outer), cls] = 1.0
+        truth = truth_flat
+
+    with tempfile.TemporaryDirectory() as td:
+        td = pathlib.Path(td)
+        save_weights(net, params, str(td / "w.weights"))
+        (td / "net.cfg").write_text(cfg_text)
+        (td / "x.bin").write_bytes(x.tobytes())
+        (td / "t.bin").write_bytes(truth_flat.astype(np.float32).tobytes())
+        subprocess.run(
+            [oracle_train, str(td / "net.cfg"), str(td / "w.weights"),
+             str(td / "x.bin"), str(td / "t.bin"), str(steps),
+             str(td / "out.weights"), str(td / "costs.bin")],
+            check=True, capture_output=True)
+        wout = (td / "out.weights").read_bytes()
+        costs = np.frombuffer((td / "costs.bin").read_bytes(), dtype="<f4")
+
+    GOLDEN.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        GOLDEN / f"{name}.npz",
+        cfg=np.frombuffer(cfg_text.encode(), dtype=np.uint8),
+        seed=np.int64(seed),
+        steps=np.int64(steps),
+        x_chw=x,
+        truth=truth,
+        weights_after=np.frombuffer(wout, dtype=np.uint8),
+        costs=costs,
+    )
+    print(f"{name}: {steps} steps, costs={costs}")
+
+
+def main_train():
+    oracle_train = sys.argv[2] if len(sys.argv) > 2 else "/tmp/refbuild/oracle_train"
+    gen_train_case("train_region_nobn", TRAIN_REGION_NOBN, oracle_train)
+    gen_train_case("train_region_bn", TRAIN_REGION_BN, oracle_train)
+    gen_train_case("train_classifier", TRAIN_CLASSIFIER, oracle_train,
+                   with_truth="classifier")
