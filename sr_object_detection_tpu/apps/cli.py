@@ -1,0 +1,229 @@
+"""darknet-compatible CLI dispatcher.
+
+Mirrors the reference's command surface (src_yolo2/darknet.c:366-499):
+
+  sr-detect detector train|valid|recall|test <data> <cfg> [weights] ...
+  sr-detect classifier train|valid|predict <data> <cfg> [weights] ...
+  sr-detect detect <cfg> <weights> <image> [-thresh T]
+  sr-detect classify <cfg> <weights> <image>
+  sr-detect rnn generate <cfg> <weights> [-len N] [-temp T] [-seed S]
+  sr-detect speed <cfg> [tics]
+  sr-detect ops <cfg>
+  sr-detect partial <cfg> <weights> <out> <n>
+  sr-detect average <cfg> <out> <w1> <w2> ...
+  sr-detect rescale <cfg> <weights> <out>
+  sr-detect rgbgr <cfg> <weights> <out>
+  sr-detect denormalize <cfg> <weights> <out>
+  sr-detect normalize <cfg> <weights> <out>
+  sr-detect statistics <cfg> <weights>
+  sr-detect visualize <cfg> [weights]
+
+Flag parsing follows the reference's argv-splicing helpers
+(utils.c:62-118): '-key value' pairs are plucked from anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def find_arg(argv, key):
+    if key in argv:
+        argv.remove(key)
+        return True
+    return False
+
+
+def find_value(argv, key, default=None, cast=str):
+    if key in argv:
+        i = argv.index(key)
+        v = argv[i + 1]
+        del argv[i:i + 2]
+        return cast(v)
+    return default
+
+
+def _load_net(cfg, weights):
+    from ..graph.spec import parse_network_cfg
+    from ..io.weights import load_weights, init_params
+    spec = parse_network_cfg(cfg)
+    if weights:
+        params, seen = load_weights(spec, weights)
+    else:
+        params, seen = init_params(spec), 0
+    return spec, params, seen
+
+
+def cmd_detect(argv):
+    thresh = find_value(argv, "-thresh", 0.24, float)
+    cfg, weights, image = argv[0], argv[1], argv[2]
+    from ..infer.detector import Detector
+    from ..ops.image import load_image_rgb
+    names_file = find_value(argv, "-names", None)
+    names = None
+    if names_file:
+        from ..config import read_names
+        names = read_names(names_file)
+    det = Detector(cfg, weights, names=names)
+    t0 = time.time()
+    dets = det.detect(load_image_rgb(image), thresh=thresh)
+    print(f"{image}: Predicted in {time.time()-t0:.6f} seconds.")
+    for d in dets:
+        label = d.name or str(d.class_id)
+        print(f"{label}: {100*d.prob:.0f}%  box={d.box}")
+    return dets
+
+
+def cmd_classify(argv):
+    cfg, weights, image = argv[0], argv[1], argv[2]
+    from ..infer.classifier import Classifier
+    from ..ops.image import load_image_rgb
+    names_file = find_value(argv, "-names", None)
+    names = None
+    if names_file:
+        from ..config import read_names
+        names = read_names(names_file)
+    clf = Classifier(cfg, weights, names=names)
+    for idx, p, name in clf.predict_topk(load_image_rgb(image), k=5):
+        print(f"{name or idx}: {p:.6f}")
+
+
+def cmd_speed(argv):
+    """darknet.c:98-113: time `tics` forwards, print sec/eval and Hz."""
+    cfg = argv[0]
+    tics = int(argv[1]) if len(argv) > 1 else 20
+    import jax.numpy as jnp
+    from ..io.weights import init_params
+    from ..graph.spec import parse_network_cfg
+    from ..infer.engine import ThroughputEngine
+    spec = parse_network_cfg(cfg)
+    params = init_params(spec)
+    eng = ThroughputEngine(spec, params, batch=1, dtype=jnp.bfloat16)
+    eng.warmup()
+    r = eng.benchmark(iters=tics)
+    sec = r["sec_per_batch"]
+    print(f"Speed: {sec:f} sec/eval")
+    print(f"Speed: {1.0/sec:f} Hz")
+
+
+def cmd_ops(argv):
+    """darknet.c:115-131: analytic FLOPs."""
+    cfg = argv[0]
+    from ..graph.spec import parse_network_cfg
+    from ..infer.engine import analytic_flops
+    spec = parse_network_cfg(cfg)
+    ops = analytic_flops(spec)
+    print(f"Floating Point Operations: {ops:.0f}")
+    print(f"Floating Point Operations: {ops/1e9:.2f} Bn")
+
+
+def cmd_partial(argv):
+    cfg, weights, out, n = argv[0], argv[1], argv[2], int(argv[3])
+    from ..io import surgery
+    spec, params, _ = _load_net(cfg, weights)
+    surgery.partial(spec, params, out, n)
+    print(f"Saved first {n} layers to {out}")
+
+
+def cmd_average(argv):
+    cfg, out = argv[0], argv[1]
+    from ..graph.spec import parse_network_cfg
+    from ..io import surgery
+    spec = parse_network_cfg(cfg)
+    surgery.average(spec, argv[2:], out)
+    print(f"Averaged {len(argv)-2} checkpoints -> {out}")
+
+
+def _surgery_cmd(fn_name):
+    def run(argv):
+        cfg, weights, out = argv[0], argv[1], argv[2]
+        from ..io import surgery
+        from ..io.weights import save_weights
+        spec, params, seen = _load_net(cfg, weights)
+        fn = getattr(surgery, fn_name)
+        res = fn(params, spec)
+        if isinstance(res, tuple):
+            params, spec = res
+        else:
+            params = res
+        save_weights(spec, params, out, seen=seen)
+        print(f"{fn_name} -> {out}")
+    return run
+
+
+def cmd_statistics(argv):
+    cfg, weights = argv[0], argv[1]
+    from ..io import surgery
+    spec, params, _ = _load_net(cfg, weights)
+    for row in surgery.statistics(params, spec):
+        print(f"layer {row['layer']:3d} {row['kind']:<12} "
+              f"shape={row['shape']} mean={row['mean']:+.4f} "
+              f"std={row['std']:.4f}")
+
+
+def cmd_visualize(argv):
+    """Text rendering of the network graph (parser-table analog,
+    parser.c:611 layer table)."""
+    cfg = argv[0]
+    from ..graph.spec import parse_network_cfg
+    spec = parse_network_cfg(cfg)
+    print("layer     type              input                output")
+    for l in spec.layers:
+        print(f"{l.index:5d} {l.kind:<16} {l.w:4d} x{l.h:4d} x{l.c:4d}"
+              f"   ->  {l.out_w:4d} x{l.out_h:4d} x{l.out_c:4d}")
+    from ..infer.engine import analytic_flops
+    print(f"total FLOPs/forward: {analytic_flops(spec)/1e9:.2f} Bn")
+
+
+def cmd_detector(argv):
+    sub = argv[0]
+    if sub == "test":
+        return cmd_detect(argv[2:3] + argv[3:])
+    from .detector_app import run_detector
+    return run_detector(argv)
+
+
+def cmd_classifier(argv):
+    from .classifier_app import run_classifier
+    return run_classifier(argv)
+
+
+def cmd_rnn(argv):
+    from .rnn_app import run_char_rnn
+    return run_char_rnn(argv)
+
+
+COMMANDS = {
+    "detect": cmd_detect,
+    "classify": cmd_classify,
+    "detector": cmd_detector,
+    "classifier": cmd_classifier,
+    "rnn": cmd_rnn,
+    "speed": cmd_speed,
+    "ops": cmd_ops,
+    "partial": cmd_partial,
+    "average": cmd_average,
+    "rescale": _surgery_cmd("rescale_net"),
+    "rgbgr": _surgery_cmd("rgbgr_net"),
+    "denormalize": _surgery_cmd("denormalize_net"),
+    "normalize": _surgery_cmd("normalize_net"),
+    "statistics": cmd_statistics,
+    "visualize": cmd_visualize,
+}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in COMMANDS:
+        print("usage: sr-detect <command> ...", file=sys.stderr)
+        print("commands:", ", ".join(sorted(COMMANDS)), file=sys.stderr)
+        return 2
+    cmd = argv.pop(0)
+    COMMANDS[cmd](argv)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

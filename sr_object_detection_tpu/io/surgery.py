@@ -1,0 +1,151 @@
+"""Weight-surgery tools: the analogs of darknet.c's offline commands
+(average:42, oneoff:133, partial:158, rescale_net:170, rgbgr_net:188,
+normalize_net:247, denormalize_net:309).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..graph import spec as S
+from .weights import load_weights, save_weights
+
+
+def partial(spec: S.NetworkSpec, params, out_path: str, cutoff: int):
+    """Truncate a checkpoint at `cutoff` layers for transfer learning
+    (darknet.c:158-167 — saves with seen=0)."""
+    save_weights(spec, params, out_path, seen=0, cutoff=cutoff)
+
+
+def average(spec: S.NetworkSpec, weight_paths: list[str], out_path: str):
+    """Ensemble-average N checkpoints of the same architecture
+    (darknet.c:42-96)."""
+    if not weight_paths:
+        raise ValueError("need at least one weights file")
+    acc, _ = load_weights(spec, weight_paths[0])
+    for p in weight_paths[1:]:
+        nxt, _ = load_weights(spec, p)
+        acc = _tree_add(acc, nxt)
+    n = len(weight_paths)
+    acc = _tree_scale(acc, 1.0 / n)
+    save_weights(spec, acc, out_path, seen=0)
+    return acc
+
+
+def _tree_add(a, b):
+    if isinstance(a, dict):
+        return {k: _tree_add(a[k], b[k]) for k in a}
+    if isinstance(a, list):
+        return [_tree_add(x, y) for x, y in zip(a, b)]
+    return a + b
+
+
+def _tree_scale(a, s):
+    if isinstance(a, dict):
+        return {k: _tree_scale(v, s) for k, v in a.items()}
+    if isinstance(a, list):
+        return [_tree_scale(x, s) for x in a]
+    return a * s
+
+
+def rescale_net(params, spec: S.NetworkSpec):
+    """rescale_weights(2, -.5) on every conv with 3x3+ kernels...
+    Reference rescale_net (darknet.c:170-186) scales conv weights by 2
+    and shifts biases by -.5*sum(weights-ish); implemented per its
+    rescale_weights: w *= 2; b -= 1? The actual op scales weights by a
+    and adjusts bias by b*sum(kernel). We implement rescale(a, b):
+    w *= a; bias += b * sum_kernel  (convolutional_layer.c
+    rescale_weights)."""
+    return rescale(params, spec, 2.0, -0.5)
+
+
+def rescale(params, spec: S.NetworkSpec, a: float, b: float):
+    out = []
+    for l, p in zip(spec.layers, params):
+        if isinstance(l, S.ConvSpec) and p:
+            p = dict(p)
+            w = np.asarray(p["weights"])           # HWIO
+            sums = w.sum(axis=(0, 1, 2))           # per out-channel
+            p["weights"] = w * a
+            p["biases"] = np.asarray(p["biases"]) * a + b * sums
+        out.append(p)
+    return out
+
+
+def rgbgr_net(params, spec: S.NetworkSpec):
+    """Swap R<->B in the first conv's input channels (darknet.c:188-200,
+    rgbgr_weights) so BGR frames can feed an RGB-trained net."""
+    out = list(params)
+    for i, l in enumerate(spec.layers):
+        if isinstance(l, S.ConvSpec) and out[i]:
+            p = dict(out[i])
+            w = np.asarray(p["weights"])           # HWIO, I==3
+            p["weights"] = w[:, :, ::-1, :].copy()
+            out[i] = p
+            break
+    return out
+
+
+def denormalize_net(params, spec: S.NetworkSpec):
+    """Fold BN into weights/biases on every BN conv/connected layer
+    (darknet.c:309-344). Returns (params, spec) with BN flags cleared."""
+    import dataclasses
+    from ..ops.conv import fold_batchnorm
+    import jax.numpy as jnp
+    new_params, new_layers = [], []
+    for l, p in zip(spec.layers, params):
+        if isinstance(l, (S.ConvSpec, S.ConnectedSpec)) and p and \
+                getattr(l, "batch_normalize", False):
+            if isinstance(l, S.ConvSpec):
+                p = {k: np.asarray(v) for k, v in
+                     fold_batchnorm({k: jnp.asarray(v)
+                                     for k, v in p.items()}).items()}
+            else:
+                scales = np.asarray(p["scales"])
+                mean = np.asarray(p["rolling_mean"])
+                var = np.asarray(p["rolling_variance"])
+                inv = scales / (np.sqrt(var) + 1e-6)
+                p = {"weights": np.asarray(p["weights"]) * inv[:, None],
+                     "biases": np.asarray(p["biases"]) - mean * inv}
+            l = dataclasses.replace(l, batch_normalize=False)
+        new_params.append(p)
+        new_layers.append(l)
+    return new_params, S.NetworkSpec(net=spec.net, layers=tuple(new_layers),
+                                     cfg_path=spec.cfg_path)
+
+
+def normalize_net(params, spec: S.NetworkSpec):
+    """Insert identity BN stats on conv/connected layers
+    (darknet.c:247-307) so a folded net can be fine-tuned with BN."""
+    import dataclasses
+    new_params, new_layers = [], []
+    for l, p in zip(spec.layers, params):
+        if isinstance(l, (S.ConvSpec, S.ConnectedSpec)) and p and \
+                not getattr(l, "batch_normalize", False):
+            n = l.filters if isinstance(l, S.ConvSpec) else l.output
+            p = dict(p)
+            p["scales"] = np.ones(n, np.float32)
+            p["rolling_mean"] = np.zeros(n, np.float32)
+            p["rolling_variance"] = np.ones(n, np.float32)
+            l = dataclasses.replace(l, batch_normalize=True)
+        new_params.append(p)
+        new_layers.append(l)
+    return new_params, S.NetworkSpec(net=spec.net, layers=tuple(new_layers),
+                                     cfg_path=spec.cfg_path)
+
+
+def statistics(params, spec: S.NetworkSpec):
+    """Per-layer weight statistics (darknet.c 'statistics' command /
+    statistics_connected_layer)."""
+    rows = []
+    for i, (l, p) in enumerate(zip(spec.layers, params)):
+        if p and "weights" in p:
+            w = np.asarray(p["weights"])
+            rows.append({"layer": i, "kind": l.kind, "shape": w.shape,
+                         "mean": float(w.mean()), "std": float(w.std()),
+                         "min": float(w.min()), "max": float(w.max())})
+    return rows
+
+
+__all__ = ["partial", "average", "rescale", "rescale_net", "rgbgr_net",
+           "denormalize_net", "normalize_net", "statistics"]

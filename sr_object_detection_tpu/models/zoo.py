@@ -242,8 +242,10 @@ def cifar_small(batch: int = 128) -> NetworkSpec:
 def char_rnn(vocab: int = 256, hidden: int = 1024, batch: int = 1,
              time_steps: int = 1) -> NetworkSpec:
     """cfg/rnn.cfg: 3 stacked RNN layers + connected softmax head."""
+    # cfg 'batch' counts streams: parse_net_options folds time_steps in
+    # (batch = batch/subdivs*time_steps, parser.c:510-514)
     b = CfgBuilder()
-    b.net(subdivisions=1, inputs=vocab, batch=batch * time_steps,
+    b.net(subdivisions=1, inputs=vocab, batch=batch,
           momentum=0.9, decay=0.001, time_steps=time_steps,
           learning_rate=0.1, policy="steps", steps=(1000, 1500),
           scales=(.1, .1), max_batches=2000)

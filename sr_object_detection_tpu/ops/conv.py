@@ -55,20 +55,68 @@ def batchnorm_train(x, scales, rolling_mean, rolling_var):
     """Train-mode batchnorm over NHWC batch+spatial dims.
 
     Returns (normalized*scale, new_rolling_mean, new_rolling_var,
-             batch_mean, batch_var, x_hat) — the extra values feed the
-    rolling-stat update and (via autodiff) the backward pass.
+             batch_mean, batch_var, x_hat).
+
+    Forward matches the reference exactly: 1/(N-1) variance (blas.c:101),
+    eps added OUTSIDE the sqrt (blas.c:122), rolling update 0.9/0.1.
+    The backward pass reproduces the reference's HAND-WRITTEN gradient
+    (backward_batchnorm_layer, batchnorm_layer.c:147-157 with
+    mean_delta/variance_delta/normalize_delta at :74-115), which is NOT
+    the autodiff gradient of the forward — it uses eps=1e-5 placed
+    differently (inside pow for variance, added to sqrt'd var for the
+    direct term) and 1/N weighting. Besides parity, this keeps the
+    gradient finite at zero batch variance where true autodiff would
+    produce inf (d sqrt(v)/dv at v=0).
     """
-    reduce_axes = tuple(range(x.ndim - 1))  # N,H,W (or N for connected)
+    y, x_hat, mean, var = _bn_core(x, scales)
+    new_rm = 0.9 * rolling_mean + 0.1 * mean
+    new_rv = 0.9 * rolling_var + 0.1 * var
+    return y, new_rm, new_rv, mean, var, x_hat
+
+
+@jax.custom_vjp
+def _bn_core(x, scales):
+    reduce_axes = tuple(range(x.ndim - 1))
     n = 1
     for a in reduce_axes:
         n *= x.shape[a]
     mean = jnp.mean(x, axis=reduce_axes)
-    # reference uses the unbiased 1/(N-1) estimator (blas.c:101)
     var = jnp.sum(jnp.square(x - mean), axis=reduce_axes) / max(n - 1, 1)
     x_hat = (x - mean) / (jnp.sqrt(var) + BN_EPS)
-    new_rm = 0.9 * rolling_mean + 0.1 * mean
-    new_rv = 0.9 * rolling_var + 0.1 * var
-    return x_hat * scales, new_rm, new_rv, mean, var, x_hat
+    return x_hat * scales, x_hat, mean, var
+
+
+def _bn_core_fwd(x, scales):
+    out = _bn_core(x, scales)
+    y, x_hat, mean, var = out
+    return out, (x, scales, x_hat, mean, var)
+
+
+def _bn_core_bwd(res, g):
+    x, scales, x_hat, mean, var = res
+    dy = g[0]
+    # cotangents of the aux outputs (x_hat/mean/var) are ignored — the
+    # reference's backward only propagates through the output path, and
+    # rolling-stat updates are not differentiated
+
+    reduce_axes = tuple(range(x.ndim - 1))
+    n = 1
+    for a in reduce_axes:
+        n *= x.shape[a]
+    eps_b = 1e-5  # backward eps (batchnorm_layer.c:74-115: .00001f)
+    dscales = jnp.sum(dy * x_hat, axis=reduce_axes)
+    d = dy * scales                      # scale_bias on delta (:150)
+    sum_d = jnp.sum(d, axis=reduce_axes)
+    mean_delta = sum_d * (-1.0 / jnp.sqrt(var + eps_b))
+    variance_delta = jnp.sum(d * (x - mean), axis=reduce_axes) * \
+        (-0.5) * jnp.power(var + eps_b, -1.5)
+    dx = (d / (jnp.sqrt(var) + eps_b)
+          + variance_delta * 2.0 * (x - mean) / n
+          + mean_delta / n)
+    return dx, dscales
+
+
+_bn_core.defvjp(_bn_core_fwd, _bn_core_bwd)
 
 
 def conv_block(x, params, spec, activation_fn, *, train: bool = False,

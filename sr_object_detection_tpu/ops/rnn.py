@@ -36,9 +36,16 @@ def _merge_steps(x):
     return x.reshape(x.shape[0] * x.shape[1], *x.shape[2:])
 
 
-def _connected(p, x, activation: str, batch_normalize: bool):
-    """Sub-layer connected forward (inference-mode BN: rolling stats)."""
+def _connected(p, x, activation: str, batch_normalize: bool,
+               train: bool = False):
+    """Sub-layer connected forward. In train mode BN uses batch stats
+    (forward_batchnorm_layer with state.train, batchnorm_layer.c:130) —
+    rolling-stat updates inside the scan are discarded (they do not
+    affect the train forward)."""
     act = get_activation(activation)
+    if batch_normalize and train:
+        y, _ = C.connected(x, p, act, batch_normalize=True, train=True)
+        return y
     return C.connected(x, p, act, batch_normalize=batch_normalize)
 
 
@@ -53,13 +60,13 @@ def rnn_forward(x, params, spec, *, time_steps: int, train: bool = False,
 
     def step(h, x_t):
         i_out = _connected(params["input"], x_t, spec.activation,
-                           spec.batch_normalize)
+                           spec.batch_normalize, train)
         s_out = _connected(params["self"], h, spec.activation,
-                           spec.batch_normalize)
+                           spec.batch_normalize, train)
         h_new = i_out + s_out
         # l.shortcut adds the previous state on top (rnn_layer.c:103-109)
         o = _connected(params["output"], h_new, spec.activation,
-                       spec.batch_normalize)
+                       spec.batch_normalize, train)
         return h_new, o
 
     _, outs = jax.lax.scan(step, state, xs)
@@ -87,24 +94,25 @@ def gru_forward(x, params, spec, *, time_steps: int, train: bool = False,
         state = jnp.zeros((b, spec.output), x.dtype)
 
     def step(h, x_t):
-        o, h_new = gru_cell(x_t, params, h, spec.batch_normalize)
+        o, h_new = gru_cell(x_t, params, h, spec.batch_normalize,
+                            train=train)
         return h_new, o
 
     _, outs = jax.lax.scan(step, state, xs)
     return _merge_steps(outs), {}
 
 
-def gru_cell(x_t, params, h, batch_normalize: bool):
+def gru_cell(x_t, params, h, batch_normalize: bool, train: bool = False):
     lin = "linear"
     z = jax.nn.sigmoid(
-        _connected(params["input_z"], x_t, lin, batch_normalize)
-        + _connected(params["state_z"], h, lin, batch_normalize))
+        _connected(params["input_z"], x_t, lin, batch_normalize, train)
+        + _connected(params["state_z"], h, lin, batch_normalize, train))
     r = jax.nn.sigmoid(
-        _connected(params["input_r"], x_t, lin, batch_normalize)
-        + _connected(params["state_r"], h, lin, batch_normalize))
+        _connected(params["input_r"], x_t, lin, batch_normalize, train)
+        + _connected(params["state_r"], h, lin, batch_normalize, train))
     hh = jax.nn.sigmoid(
-        _connected(params["input_h"], x_t, lin, batch_normalize)
-        + _connected(params["state_h"], r * h, lin, batch_normalize))
+        _connected(params["input_h"], x_t, lin, batch_normalize, train)
+        + _connected(params["state_h"], r * h, lin, batch_normalize, train))
     out = z * h + (1.0 - z) * hh
     return out, out
 

@@ -159,18 +159,37 @@ class Trainer:
             seen=jnp.asarray(0, jnp.int64 if jax.config.jax_enable_x64
                              else jnp.int32),
         )
-        step = make_train_step(spec, mesh=mesh, compute_dtype=compute_dtype)
-        if mesh is not None:
-            bs = batch_sharding(mesh)
-            self._step = jax.jit(
-                step, in_shardings=(None, bs, bs, None), donate_argnums=(0,))
-        else:
-            self._step = jax.jit(step, donate_argnums=(0,))
+        self._compute_dtype = compute_dtype
+        self._steps: dict[tuple[int, int], Any] = {}
+        self._steps[(spec.net.h, spec.net.w)] = self._jit(
+            make_train_step(spec, mesh=mesh, compute_dtype=compute_dtype))
         self._rng = jax.random.PRNGKey(seed)
+
+    def _jit(self, step):
+        if self.mesh is not None:
+            bs = batch_sharding(self.mesh)
+            return jax.jit(step, in_shardings=(None, bs, bs, None),
+                           donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _step_for(self, h: int, w: int):
+        """Multi-scale training (detector.c:91-109 resize_network): a
+        new static-shape train step per resolution bucket, sharing the
+        same state. Compiled once per bucket, cached."""
+        key = (h, w)
+        if key not in self._steps:
+            rspec = self.spec.resize(w, h)
+            self._steps[key] = self._jit(make_train_step(
+                rspec, mesh=self.mesh, compute_dtype=self._compute_dtype))
+        return self._steps[key]
 
     def step(self, x, truth):
         self._rng, sub = jax.random.split(self._rng)
-        self.state, metrics = self._step(self.state, x, truth, sub)
+        if x.ndim == 4:
+            step = self._step_for(x.shape[1], x.shape[2])
+        else:
+            step = self._steps[(self.spec.net.h, self.spec.net.w)]
+        self.state, metrics = step(self.state, x, truth, sub)
         return metrics
 
     @property

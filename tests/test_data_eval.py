@@ -1,0 +1,259 @@
+"""Data pipeline, eval, surgery, checkpoint, CLI and app tests."""
+
+import os
+import pathlib
+import tempfile
+
+import numpy as np
+import pytest
+
+import darknet_oracle as oracle
+
+from sr_object_detection_tpu.data import augment as A
+from sr_object_detection_tpu.data import loader as D
+from sr_object_detection_tpu.eval import voc as V
+from sr_object_detection_tpu.io import surgery, checkpoint as ckpt
+from sr_object_detection_tpu.io.weights import init_params, load_weights, \
+    save_weights
+from sr_object_detection_tpu.models import zoo
+
+
+# --------------------------------------------------------------- augment
+
+
+def test_hsv_roundtrip():
+    rng = np.random.default_rng(0)
+    im = rng.random((16, 16, 3)).astype(np.float32)
+    back = A.hsv_to_rgb(A.rgb_to_hsv(im))
+    np.testing.assert_allclose(back, im, atol=1e-5)
+
+
+def test_distort_identity():
+    rng = np.random.default_rng(1)
+    im = rng.random((8, 8, 3)).astype(np.float32)
+    out = A.distort_image(im, 0.0, 1.0, 1.0)
+    np.testing.assert_allclose(out, im, atol=1e-5)
+
+
+def test_crop_image_edge_clamp():
+    im = np.arange(4 * 4 * 3, dtype=np.float32).reshape(4, 4, 3)
+    out = A.crop_image(im, -2, -2, 4, 4)
+    assert out.shape == (4, 4, 3)
+    np.testing.assert_allclose(out[0, 0], im[0, 0])  # clamped corner
+    np.testing.assert_allclose(out[3, 3], im[1, 1])
+
+
+def test_correct_boxes_flip():
+    boxes = np.array([[3, 0.25, 0.5, 0.2, 0.4]], np.float32)
+    out = A.correct_boxes(boxes, 0.0, 0.0, 1.0, 1.0, flip=True)
+    assert abs(out[0, 1] - 0.75) < 1e-6
+    assert abs(out[0, 3] - 0.2) < 1e-6
+
+
+def test_label_path_derivation():
+    assert D.label_path_for("/d/JPEGImages/a.jpg") == "/d/labels/a.txt"
+    assert D.label_path_for("/d/images/b.png") == "/d/labels/b.txt"
+
+
+# ----------------------------------------------------------- detection io
+
+
+def _write_ppm(path, arr):
+    h, w, _ = arr.shape
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (w, h))
+        f.write((arr * 255).astype(np.uint8).tobytes())
+
+
+def test_detection_loader_end_to_end(tmp_path):
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    paths = []
+    for i in range(4):
+        arr = rng.random((48, 64, 3)).astype(np.float32)
+        p = img_dir / f"im{i}.ppm"
+        _write_ppm(p, arr)
+        (lbl_dir / f"im{i}.txt").write_text("1 0.5 0.5 0.4 0.4\n")
+        paths.append(str(p))
+    loader = D.DetectionLoader(paths, w=64, h=64, batch=2, classes=5,
+                               seed=0)
+    x, t = loader.next_batch()
+    assert x.shape == (2, 64, 64, 3)
+    assert t.shape == (2, 30, 5)
+    assert (x >= 0).all() and (x <= 1).all()
+    # at least one truth box should survive the jitter crop
+    assert (t[:, :, 2] > 0).any()
+
+
+def test_cifar_reader(tmp_path):
+    rng = np.random.default_rng(0)
+    rec = np.zeros((10, 3073), np.uint8)
+    rec[:, 0] = np.arange(10)
+    rec[:, 1:] = rng.integers(0, 255, (10, 3072))
+    p = tmp_path / "data_batch_1.bin"
+    rec.tofile(p)
+    x, y = D.load_cifar10_batch(str(p))
+    assert x.shape == (10, 32, 32, 3)
+    assert y.shape == (10, 10)
+    assert (y.sum(axis=1) == 1).all()
+    assert x.max() <= 1.0
+
+
+# ------------------------------------------------------------------ eval
+
+
+def test_voc_ap_perfect():
+    rec = np.array([0.5, 1.0])
+    prec = np.array([1.0, 1.0])
+    assert abs(V.voc_ap(rec, prec) - 1.0) < 1e-6
+    assert abs(V.voc_ap(rec, prec, use_07_metric=True) - 1.0) < 1e-6
+
+
+def test_eval_class_basic():
+    gt = {"img1": {"boxes": [[10, 10, 50, 50]]},
+          "img2": {"boxes": [[20, 20, 60, 60]]}}
+    dets = [("img1", 0.9, 12, 12, 48, 48),      # hit
+            ("img2", 0.8, 100, 100, 140, 140),  # miss
+            ("img2", 0.7, 22, 22, 58, 58)]      # hit
+    r = V.eval_class(dets, gt)
+    assert r.npos == 2
+    assert abs(r.recall[-1] - 1.0) < 1e-6
+    assert 0.5 < r.ap <= 1.0
+
+
+def test_mean_ap_with_nms_pipeline():
+    m, aps = V.mean_ap({"cat": [("i", 0.9, 0, 0, 10, 10)]},
+                       {"cat": {"i": {"boxes": [[0, 0, 10, 10]]}},
+                        "dog": {"i": {"boxes": [[5, 5, 15, 15]]}}})
+    assert set(aps) == {"cat", "dog"}
+    assert aps["cat"] > 0.99 and aps["dog"] == 0.0
+
+
+# --------------------------------------------------------------- surgery
+
+
+def test_partial_and_reload(tmp_path):
+    spec = zoo.tiny_yolo_voc(width=96, height=96)
+    params = init_params(spec, seed=0)
+    out = str(tmp_path / "part.weights")
+    surgery.partial(spec, params, out, cutoff=3)
+    loaded, seen = load_weights(spec, out, cutoff=3)
+    assert seen == 0
+    np.testing.assert_allclose(loaded[0]["weights"], params[0]["weights"])
+    assert not loaded[5]
+
+
+def test_weights_roundtrip_bitexact(tmp_path):
+    spec = zoo.tiny_yolo_voc(width=96, height=96)
+    params = init_params(spec, seed=1)
+    p1 = str(tmp_path / "a.weights")
+    save_weights(spec, params, p1, seen=12345)
+    loaded, seen = load_weights(spec, p1)
+    assert seen == 12345
+    p2 = str(tmp_path / "b.weights")
+    save_weights(spec, loaded, p2, seen=seen)
+    assert pathlib.Path(p1).read_bytes() == pathlib.Path(p2).read_bytes()
+
+
+def test_denormalize_preserves_inference():
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.graph.compiler import build_forward
+    spec = zoo.tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=2)
+    rng = np.random.default_rng(0)
+    for p, l in zip(params, spec.layers):
+        if p and "rolling_variance" in p:
+            p["rolling_variance"] = rng.uniform(
+                0.5, 2, p["rolling_variance"].shape).astype(np.float32)
+    x = rng.random((1, 64, 64, 3)).astype(np.float32)
+    ref, _ = build_forward(spec)(params, x)
+    np_, nspec = surgery.denormalize_net(params, spec)
+    got, _ = build_forward(nspec)(np_, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_rgbgr_swaps_first_conv():
+    spec = zoo.tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    swapped = surgery.rgbgr_net(params, spec)
+    np.testing.assert_allclose(swapped[0]["weights"][:, :, 0, :],
+                               params[0]["weights"][:, :, 2, :])
+
+
+# ------------------------------------------------------------ checkpoint
+
+
+def test_train_state_roundtrip(tmp_path):
+    from sr_object_detection_tpu.train.trainer import Trainer
+    spec = zoo.tiny_yolo_voc(width=64, height=64)
+    tr = Trainer(spec, seed=0)
+    x = np.random.default_rng(0).random((1, 64, 64, 3)).astype(np.float32)
+    t = np.zeros((1, 30, 5), np.float32)
+    t[0, 0] = [0.5, 0.5, 0.3, 0.3, 1]
+    tr.step(x, t)
+    p = str(tmp_path / "state.npz")
+    ckpt.save_train_state(p, tr.state)
+    restored = ckpt.load_train_state(p, tr.state)
+    assert int(restored.seen) == int(tr.state.seen)
+    a = np.asarray(tr.state.params[0]["weights"])
+    b = np.asarray(restored.params[0]["weights"])
+    np.testing.assert_allclose(a, b)
+    assert ckpt.should_checkpoint(100)
+    assert not ckpt.should_checkpoint(150)
+    assert ckpt.should_checkpoint(2000)
+
+
+# ------------------------------------------------------------------- cli
+
+
+def test_cli_ops_and_visualize(tmp_path, capsys):
+    from sr_object_detection_tpu.apps import cli
+    from sr_object_detection_tpu.models.zoo import CfgBuilder
+    b = CfgBuilder()
+    b.net(batch=1, width=32, height=32, channels=3)
+    b.conv(8)
+    b.section("avgpool")
+    cfg = tmp_path / "t.cfg"
+    cfg.write_text(b.text())
+    cli.main(["ops", str(cfg)])
+    out = capsys.readouterr().out
+    assert "Floating Point Operations" in out
+    cli.main(["visualize", str(cfg)])
+    out = capsys.readouterr().out
+    assert "conv" in out and "avgpool" in out
+
+
+# ------------------------------------------------------------- char rnn
+
+
+def test_char_rnn_sampler_and_stream(tmp_path):
+    from sr_object_detection_tpu.apps.rnn_app import (CharRNNSampler,
+                                                      CharStream)
+    spec = zoo.char_rnn(hidden=32, time_steps=4, batch=2)
+    params = init_params(spec, seed=0)
+    sampler = CharRNNSampler(spec, params)
+    text = sampler.generate(b"ab", 16, temperature=1.0)
+    assert len(text) == 18
+
+    stream = CharStream(b"hello world, hello tpu!" * 8, batch=2, steps=4)
+    x, y = stream.next_batch()
+    assert x.shape == (8, 256) and y.shape == (8, 256)
+    assert (x.sum(axis=1) == 1).all()
+
+
+def test_char_rnn_training_reduces_loss(tmp_path):
+    from sr_object_detection_tpu.train.trainer import Trainer
+    from sr_object_detection_tpu.apps.rnn_app import CharStream
+    spec = zoo.char_rnn(hidden=64, time_steps=8, batch=4)
+    tr = Trainer(spec, seed=0)
+    stream = CharStream(b"abcabcabcabc" * 50, batch=4, steps=8, seed=0)
+    losses = []
+    for _ in range(30):
+        x, y = stream.next_batch()
+        m = tr.step(x, y)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]

@@ -74,10 +74,9 @@ def test_train_region_no_bn():
 
 
 def test_train_region_bn():
-    # darknet's hand-written BN backward is not the exact gradient of its
-    # forward (eps placement differs: blas.c:122 vs batchnorm_layer.c:105);
-    # we use the true gradient, so allow a slightly looser tolerance
-    _train_and_compare("train_region_bn", wtol=5e-3, ctol=5e-3)
+    # our BN backward reproduces darknet's hand-written gradient exactly
+    # (ops/conv.py _bn_core_bwd), so the tolerance is float-level
+    _train_and_compare("train_region_bn", wtol=2e-4, ctol=1e-3)
 
 
 def test_train_classifier_subdivisions():
