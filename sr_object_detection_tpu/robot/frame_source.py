@@ -1,0 +1,151 @@
+"""Frame sources: the hardware abstraction replacing the Kinect v2.
+
+The reference hardwires Kinect SDK frame acquisition
+(KinectUtil.cpp:115-204: depth 512x424 uint16 mm + color 1920x1080).
+Headless-testable sources implement the same contract:
+
+    frame = source.next()  ->  RGBDFrame(color u8 HWC, depth u16 mm,
+                                          intrinsics, timestamp)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import time
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+KINECT_DEPTH_SIZE = (424, 512)            # KinectUtil.cpp:115
+KINECT_COLOR_SIZE = (1080, 1920)
+# Kinect v2 depth intrinsics (public calibration values)
+KINECT_INTRINSICS = (365.456, 365.456, 254.878, 205.395)
+
+
+@dataclasses.dataclass
+class RGBDFrame:
+    color: np.ndarray                     # (H, W, 3) uint8
+    depth: Optional[np.ndarray]           # (Hd, Wd) uint16 mm or None
+    intrinsics: tuple = KINECT_INTRINSICS
+    timestamp: float = 0.0
+
+
+class FrameSource:
+    def next(self) -> Optional[RGBDFrame]:
+        raise NotImplementedError
+
+    def __iter__(self) -> Iterator[RGBDFrame]:
+        while True:
+            f = self.next()
+            if f is None:
+                return
+            yield f
+
+
+class SyntheticRGBDSource(FrameSource):
+    """Deterministic synthetic scene: a textured 'table' plane in depth
+    plus a few moving colored boxes — lets the full robot pipeline
+    (detect, localize, plane removal, tracking, reminders) run headless.
+    """
+
+    def __init__(self, w: int = 512, h: int = 424, n_frames: int = 100,
+                 seed: int = 0):
+        self.w, self.h = w, h
+        self.n_frames = n_frames
+        self.i = 0
+        self.rng = np.random.default_rng(seed)
+        fx = fy = 365.0
+        self.intr = (fx, fy, w / 2.0, h / 2.0)
+
+    def next(self) -> Optional[RGBDFrame]:
+        if self.i >= self.n_frames:
+            return None
+        t = self.i
+        self.i += 1
+        h, w = self.h, self.w
+        color = np.full((h, w, 3), 64, np.uint8)
+        depth = np.zeros((h, w), np.uint16)
+        # table plane at z = 1.5m across the lower half
+        depth[h // 2:, :] = 1500
+        # a box sliding right at z = 1.0m
+        bx = int((0.2 + 0.004 * t) * w) % w
+        by = int(0.4 * h)
+        bw, bh = w // 8, h // 8
+        color[by:by + bh, bx:bx + bw] = (200, 40, 40)
+        depth[by:by + bh, bx:bx + bw] = 1000
+        # a static box at z = 0.8m
+        sx, sy = int(0.7 * w), int(0.25 * h)
+        color[sy:sy + bh, sx:sx + bw] = (40, 200, 40)
+        depth[sy:sy + bh, sx:sx + bw] = 800
+        return RGBDFrame(color=color, depth=depth, intrinsics=self.intr,
+                         timestamp=float(t) / 30.0)
+
+
+class ImageDirectorySource(FrameSource):
+    """Replays a directory of images as the color stream (the headless
+    stand-in for 'detector demo' video input; depth absent)."""
+
+    def __init__(self, pattern: str, loop: bool = False):
+        self.paths = sorted(glob.glob(pattern))
+        if not self.paths:
+            raise ValueError(f"no frames match {pattern!r}")
+        self.i = 0
+        self.loop = loop
+
+    def next(self) -> Optional[RGBDFrame]:
+        if self.i >= len(self.paths):
+            if not self.loop:
+                return None
+            self.i = 0
+        from ..ops.image import load_image_rgb
+        img = (load_image_rgb(self.paths[self.i]) * 255).astype(np.uint8)
+        self.i += 1
+        return RGBDFrame(color=img, depth=None, timestamp=time.time())
+
+
+class RawRGBDSource(FrameSource):
+    """Binary RGB-D dump replay: pairs of <stem>.rgb (u8 HWC) and
+    <stem>.depth (u16) files with a small header — the capture format
+    our recorder writes (the analog of the reference's shared-folder
+    txt protocol for offline robot testing)."""
+
+    def __init__(self, directory: str):
+        self.stems = sorted(
+            p[:-4] for p in glob.glob(os.path.join(directory, "*.rgb")))
+        self.i = 0
+
+    @staticmethod
+    def write_frame(stem: str, frame: RGBDFrame):
+        h, w = frame.color.shape[:2]
+        with open(stem + ".rgb", "wb") as f:
+            f.write(np.array([h, w], np.int32).tobytes())
+            f.write(frame.color.tobytes())
+        if frame.depth is not None:
+            dh, dw = frame.depth.shape
+            with open(stem + ".depth", "wb") as f:
+                f.write(np.array([dh, dw], np.int32).tobytes())
+                f.write(frame.depth.tobytes())
+
+    def next(self) -> Optional[RGBDFrame]:
+        if self.i >= len(self.stems):
+            return None
+        stem = self.stems[self.i]
+        self.i += 1
+        with open(stem + ".rgb", "rb") as f:
+            h, w = np.frombuffer(f.read(8), np.int32)
+            color = np.frombuffer(f.read(), np.uint8).reshape(h, w, 3)
+        depth = None
+        if os.path.exists(stem + ".depth"):
+            with open(stem + ".depth", "rb") as f:
+                dh, dw = np.frombuffer(f.read(8), np.int32)
+                depth = np.frombuffer(f.read(), np.uint16).reshape(dh, dw)
+        return RGBDFrame(color=color.copy(),
+                         depth=None if depth is None else depth.copy(),
+                         timestamp=float(self.i) / 30.0)
+
+
+__all__ = ["RGBDFrame", "FrameSource", "SyntheticRGBDSource",
+           "ImageDirectorySource", "RawRGBDSource", "KINECT_INTRINSICS"]

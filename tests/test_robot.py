@@ -1,0 +1,193 @@
+"""Native robot runtime tests: object memory, KCF, plane RANSAC,
+localization, full pipeline with a fake detector."""
+
+import numpy as np
+import pytest
+
+native = pytest.importorskip(
+    "sr_object_detection_tpu.robot.native")
+from sr_object_detection_tpu.robot.frame_source import (
+    SyntheticRGBDSource, RawRGBDSource, RGBDFrame)
+from sr_object_detection_tpu.robot.pipeline import (
+    RobotPerception, NLWriter, IPCSink)
+
+
+def _det(x, y, w=0.1, h=0.1, cls=0, prob=0.9, cam=(0, 0, 0)):
+    return {"box": (x, y, w, h), "prob": prob, "class_id": cls,
+            "cam": cam, "body_id": -1}
+
+
+def test_object_memory_vote_and_reminder():
+    om = native.ObjectMemory(appear=3, disappear=2)
+    # object must appear 3 frames before becoming stable
+    for i in range(2):
+        om.update([_det(0.5, 0.5)])
+        assert len(om.objects()) == 0
+    om.update([_det(0.5, 0.5)])
+    objs = om.objects()
+    assert len(objs) == 1
+    # vanishing beyond the disappear threshold produces a reminder
+    for _ in range(4):
+        om.update([])
+    rem = om.reminders()
+    assert len(rem) == 1
+    assert abs(rem[0]["box"][0] - 0.5) < 0.05
+    assert len(om.objects()) == 0
+
+
+def test_object_memory_box_ema_smoothing():
+    om = native.ObjectMemory(appear=1, disappear=5, ema=0.8)
+    om.update([_det(0.50, 0.50, w=0.2, h=0.2)])
+    om.update([_det(0.55, 0.50, w=0.2, h=0.2)])   # jitters right
+    x = om.objects()[0]["box"][0]
+    assert 0.505 < x < 0.52          # EMA: 0.8*0.50 + 0.2*0.55 = 0.51
+
+
+def test_multitracker_ids_stable():
+    mt = native.MultiTracker()
+    d1 = mt.update([_det(0.3, 0.3), _det(0.7, 0.7, cls=1)], 100, 100)
+    ids1 = {d["class_id"]: d["body_id"] for d in d1}
+    d2 = mt.update([_det(0.31, 0.31), _det(0.69, 0.71, cls=1)], 100, 100)
+    ids2 = {d["class_id"]: d["body_id"] for d in d2}
+    assert ids1 == ids2
+    # far-away new object gets a fresh id
+    d3 = mt.update([_det(0.9, 0.1)], 100, 100)
+    assert d3[0]["body_id"] not in ids1.values()
+
+
+def test_localization_pinhole():
+    depth = np.zeros((100, 100), np.uint16)
+    depth[40:60, 40:60] = 2000    # 2m
+    K = (100.0, 100.0, 50.0, 50.0)
+    dets = native.localize(depth, K, [_det(0.5, 0.5, 0.2, 0.2)])
+    cam = dets[0]["cam"]
+    assert abs(cam[2] - 2.0) < 1e-3
+    assert abs(cam[0]) < 0.02 and abs(cam[1]) < 0.02
+
+
+def test_plane_ransac_finds_floor():
+    rng = np.random.default_rng(0)
+    n = 500
+    ground = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                       np.full(n, 1.5) + rng.normal(0, 0.002, n)], axis=1)
+    blob = rng.normal([0.2, 0.0, 1.0], 0.05, (60, 3))
+    pts = np.concatenate([ground, blob]).astype(np.float32)
+    plane, mask, inl = native.plane_ransac(pts, dist_thresh=0.02,
+                                           max_iters=300, seed=1)
+    assert inl > 450
+    assert abs(abs(plane[2]) - 1.0) < 0.05    # normal ~ z axis
+    assert mask[:n].mean() > 0.9
+    assert mask[n:].mean() < 0.2
+
+
+def test_remove_plane_depth():
+    src = SyntheticRGBDSource()
+    f = src.next()
+    depth = f.depth.copy()
+    table_px = int((depth == 1500).sum())
+    removed = native.remove_plane(depth, f.intrinsics, dist_thresh=0.03,
+                                  max_iters=300, seed=3)
+    assert removed > 0.8 * table_px
+    # objects at other depths survive
+    assert (depth == 1000).sum() > 0
+
+
+def test_fhog_shape_and_energy():
+    rng = np.random.default_rng(0)
+    img = rng.random((64, 64, 3)).astype(np.float32)
+    f = native.fhog(img, cell=4)
+    assert f.shape == (16, 16, 31)
+    assert np.isfinite(f).all()
+    assert f.max() > 0
+
+
+def test_kcf_tracks_translation():
+    rng = np.random.default_rng(0)
+    h, w = 120, 160
+    texture = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+
+    def frame(ox, oy):
+        img = np.full((h, w, 3), 30, np.uint8)
+        img[oy:oy + 24, ox:ox + 24] = texture
+        return img
+
+    t = native.KCFTracker()
+    t.init(frame(40, 50), (40, 50, 24, 24))
+    # move the target 2px/frame diagonally
+    for i in range(1, 8):
+        box = t.track(frame(40 + 2 * i, 50 + i))
+    cx, cy = box[0] + box[2] / 2, box[1] + box[3] / 2
+    assert abs(cx - (40 + 14 + 12)) < 6     # 40+2*7 + 12
+    assert abs(cy - (50 + 7 + 12)) < 6
+
+
+def test_nl_writer_sentences(tmp_path):
+    nl = NLWriter(str(tmp_path / "Objects.txt"))
+    assert nl.write([]) == "i can not see anything"
+    assert nl.write(["cup"]) == "i can see a cup"
+    s = nl.write(["cup", "bottle", "cup"])
+    assert s == "i can see a cup and a bottle"
+    assert (tmp_path / "Objects.txt").read_text().strip() == s
+
+
+class FakeDetection:
+    def __init__(self, box, cls, prob):
+        self.box, self.class_id, self.prob = box, cls, prob
+
+
+class FakeDetector:
+    """Detects the red and green boxes of SyntheticRGBDSource."""
+
+    def detect(self, img, thresh=0.24, nms=0.1):
+        h, w = img.shape[:2]
+        red = (img[..., 0] > 0.6) & (img[..., 1] < 0.3)
+        green = (img[..., 1] > 0.6) & (img[..., 0] < 0.3)
+        out = []
+        for mask, cls in ((red, 0), (green, 1)):
+            ys, xs = np.nonzero(mask)
+            if len(xs) < 10:
+                continue
+            x0, x1 = xs.min(), xs.max()
+            y0, y1 = ys.min(), ys.max()
+            out.append(FakeDetection(
+                ((x0 + x1) / 2 / w, (y0 + y1) / 2 / h,
+                 (x1 - x0 + 1) / w, (y1 - y0 + 1) / h), cls, 0.9))
+        return out
+
+
+def test_full_pipeline_synthetic(tmp_path):
+    msgs = []
+    pipe = RobotPerception(FakeDetector(), names=["redbox", "greenbox"],
+                           nl_path=str(tmp_path / "Objects.txt"),
+                           ipc=lambda m: msgs.append(m),
+                           detect_every=1)
+    src = SyntheticRGBDSource(n_frames=12)
+    results = pipe.run(src)
+    assert len(results) == 12
+    last = results[-1]
+    names = {o["name"] for o in last["objects"]}
+    assert names == {"redbox", "greenbox"}
+    # localization happened (static green box at 0.8m)
+    green = [o for o in last["objects"] if o["name"] == "greenbox"][0]
+    assert abs(green["cam"][2] - 0.8) < 0.05
+    assert "redbox" in last["sentence"] or "greenbox" in last["sentence"]
+    assert msgs and msgs[-1]["type"] == "objectRecognized"
+
+
+def test_pipeline_tracking_frames(tmp_path):
+    pipe = RobotPerception(FakeDetector(), names=["redbox", "greenbox"],
+                           detect_every=3)
+    src = SyntheticRGBDSource(n_frames=9)
+    results = pipe.run(src)
+    # tracker-only frames still produce detections
+    assert all(len(r["detections"]) >= 1 for r in results[1:])
+
+
+def test_raw_rgbd_roundtrip(tmp_path):
+    src = SyntheticRGBDSource(n_frames=2)
+    f = src.next()
+    RawRGBDSource.write_frame(str(tmp_path / "000"), f)
+    rd = RawRGBDSource(str(tmp_path))
+    g = rd.next()
+    np.testing.assert_array_equal(g.color, f.color)
+    np.testing.assert_array_equal(g.depth, f.depth)
