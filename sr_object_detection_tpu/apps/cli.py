@@ -195,12 +195,36 @@ def cmd_rnn(argv):
     return run_char_rnn(argv)
 
 
+def cmd_nightmare(argv):
+    from .nightmare_app import run_nightmare
+    return run_nightmare(argv)
+
+
+def cmd_cifar(argv):
+    from .cifar_app import run_cifar
+    return run_cifar(argv)
+
+
+def cmd_super(argv):
+    from .super_app import run_super
+    return run_super(argv)
+
+
+def cmd_go(argv):
+    from .go_app import run_go
+    return run_go(argv)
+
+
 COMMANDS = {
     "detect": cmd_detect,
     "classify": cmd_classify,
     "detector": cmd_detector,
     "classifier": cmd_classifier,
     "rnn": cmd_rnn,
+    "nightmare": cmd_nightmare,
+    "cifar": cmd_cifar,
+    "super": cmd_super,
+    "go": cmd_go,
     "speed": cmd_speed,
     "ops": cmd_ops,
     "partial": cmd_partial,

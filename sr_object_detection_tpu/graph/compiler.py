@@ -48,6 +48,24 @@ def _resolve_tree(spec_layer, search_dirs) -> Optional[WordTree]:
     raise FileNotFoundError(f"tree file not found: {tf}")
 
 
+def resolve_trees(spec: S.NetworkSpec,
+                  tree_search_dirs: tuple[str, ...] = ()
+                  ) -> dict[int, WordTree]:
+    """Find and load the WordTree for every tree= layer. Search order:
+    path as given, then relative to the cfg's directory."""
+    dirs = list(tree_search_dirs)
+    if spec.cfg_path:
+        import os
+        dirs.append(os.path.dirname(os.path.abspath(spec.cfg_path)))
+    trees: dict[int, WordTree] = {}
+    for i, l in enumerate(spec.layers):
+        if isinstance(l, (S.RegionSpec, S.SoftmaxSpec)):
+            t = _resolve_tree(l, dirs)
+            if t is not None:
+                trees[i] = t
+    return trees
+
+
 class CompiledNetwork:
     """A NetworkSpec bound to resolved side data (trees) and a forward fn."""
 
@@ -55,16 +73,7 @@ class CompiledNetwork:
                  tree_search_dirs: tuple[str, ...] = ()):
         self.spec = spec
         self.compute_dtype = compute_dtype
-        dirs = list(tree_search_dirs)
-        if spec.cfg_path:
-            import os
-            dirs.append(os.path.dirname(os.path.abspath(spec.cfg_path)))
-        self.trees: dict[int, WordTree] = {}
-        for i, l in enumerate(spec.layers):
-            if isinstance(l, (S.RegionSpec, S.SoftmaxSpec)):
-                t = _resolve_tree(l, dirs)
-                if t is not None:
-                    self.trees[i] = t
+        self.trees = resolve_trees(spec, tree_search_dirs)
 
         self._keep = _live_set(spec)
         self.forward = build_forward(
@@ -238,7 +247,14 @@ def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None):
                     b_, n_ = cur.shape
                     loc = l.side * l.side
                     cls = cur[:, :loc * l.classes].reshape(b_, loc, l.classes)
-                    cls = jax.nn.softmax(cls, axis=-1).reshape(b_, -1)
+                    # train mode keeps darknet's softmax-as-identity
+                    # backward (forward_detection_layer softmaxes into
+                    # l.output; backward axpys delta straight through)
+                    if train:
+                        cls = _softmax_straight_through(cls)
+                    else:
+                        cls = jax.nn.softmax(cls, axis=-1)
+                    cls = cls.reshape(b_, -1)
                     cur = jnp.concatenate([cls, cur[:, loc * l.classes:]],
                                           axis=1)
 

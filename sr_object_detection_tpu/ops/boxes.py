@@ -66,8 +66,11 @@ def grouped_softmax(logits, group_ids):
     group (tree.c:53-103). Uses segment max/sum so ragged 9k-tree groups
     stay vectorized instead of 845k tiny softmaxes.
     """
+    # static group count must come from the (host) numpy table — compute
+    # it BEFORE any jnp conversion so traced callers can't leak tracers
+    num_groups = int(np.max(np.asarray(jax.core.concrete_or_error(
+        None, group_ids, "grouped_softmax group_ids must be static")))) + 1
     group_ids = jnp.asarray(group_ids)
-    num_groups = int(np.asarray(group_ids).max()) + 1
     lead = logits.shape[:-1]
     flat = logits.reshape(-1, logits.shape[-1])
 

@@ -32,7 +32,59 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph.spec import RegionSpec
-from ..ops.boxes import box_iou
+from ..ops.boxes import box_iou, grouped_softmax
+
+
+class TreeInfo:
+    """Static per-class tables for the hierarchical (9k) class delta.
+
+    delta_region_class with a tree (region_layer.c:108-124) walks from
+    the target class to the root, zeroing every sibling group along the
+    path and setting +1 at each path node. We precompute:
+      * chain (C, D): ancestor chain per class (padded with self);
+      * path_groups (C, D): group id of each chain entry (-1 padding);
+    so the per-truth masks become vectorized gathers/compares.
+    """
+
+    def __init__(self, tree):
+        parent = np.asarray(tree.parent)
+        group = np.asarray(tree.group)
+        c = parent.shape[0]
+        chain = [np.arange(c)]
+        cur = parent.copy()
+        while (cur >= 0).any():
+            chain.append(np.where(cur >= 0, cur, chain[-1]))
+            cur = np.where(cur >= 0, parent[np.maximum(cur, 0)], -1)
+        self.chain = np.stack(chain, axis=1)              # (C, D)
+        valid = np.ones_like(self.chain, dtype=bool)
+        valid[:, 1:] = self.chain[:, 1:] != self.chain[:, :-1]
+        self.chain_valid = valid
+        self.path_groups = np.where(valid, group[self.chain], -1)
+        self.group = group
+        self.parent = parent
+
+    def class_delta_masks(self, tcls):
+        """tcls: (...,) int class ids. Returns (pos, grp) bool masks of
+        shape (..., C): pos = path nodes (+1 targets), grp = all classes
+        in any sibling group along the path (delta targets)."""
+        chain = jnp.asarray(self.chain)
+        valid = jnp.asarray(self.chain_valid)
+        pgroups = jnp.asarray(self.path_groups)
+        group = jnp.asarray(self.group)
+        c = chain.shape[0]
+        path = chain[tcls]                                  # (..., D)
+        pvalid = valid[tcls]
+        pos = _scatter_path(c, path, pvalid)
+        pg = pgroups[tcls]                                  # (..., D)
+        grp = jnp.any(group[None, :] == pg[..., :, None], axis=-2)
+        return pos, grp
+
+
+def _scatter_path(c, path, valid):
+    """Build (..., C) bool with True at path[d] where valid[d]."""
+    onehots = jax.nn.one_hot(path, c, dtype=jnp.bool_)      # (..., D, C)
+    onehots = jnp.logical_and(onehots, valid[..., None])
+    return jnp.any(onehots, axis=-2)
 
 
 def _truth_mask(truth):
@@ -42,12 +94,18 @@ def _truth_mask(truth):
     return jnp.cumprod(nonzero.astype(jnp.int32), axis=-1).astype(bool)
 
 
-def region_delta(raw_flat, truth, seen, spec: RegionSpec):
+def region_delta(raw_flat, truth, seen, spec: RegionSpec, *,
+                 tree: "TreeInfo | None" = None, class_map=None):
     """Compute (activated_output_flat, delta_flat, stats).
 
     raw_flat: (B, H*W*A*F) region-layer input in darknet location-major
     order (== NHWC raster of the preceding conv). delta has the same
     layout; gradient wrt raw input is -delta.
+
+    tree/class_map enable the YOLO9000 paths: grouped (WordTree) class
+    softmax, hierarchical class deltas, truth-id remapping through the
+    map file, and classification-only sentinel truths (x>100000 —
+    region_layer.c:188-213 with data.c fill_hierarchy's 999999 markers).
     """
     b = raw_flat.shape[0]
     h, w, a, c = spec.h, spec.w, spec.n, spec.classes
@@ -59,8 +117,12 @@ def region_delta(raw_flat, truth, seen, spec: RegionSpec):
     # ---- forward activations (region_layer.c:144-176) ----------------
     sig_xy = jax.nn.sigmoid(raw[..., 0:2])
     obj = jax.nn.sigmoid(raw[..., 4])
-    cls_prob = jax.nn.softmax(raw[..., 5:], axis=-1) if spec.softmax \
-        else raw[..., 5:]
+    if tree is not None:
+        cls_prob = grouped_softmax(raw[..., 5:], tree.group)
+    elif spec.softmax:
+        cls_prob = jax.nn.softmax(raw[..., 5:], axis=-1)
+    else:
+        cls_prob = raw[..., 5:]
 
     # ---- predicted boxes (get_region_box, DOABS) ---------------------
     col = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)[None, :, :, None]
@@ -156,10 +218,18 @@ def region_delta(raw_flat, truth, seen, spec: RegionSpec):
         d_obj_assigned = spec.object_scale * (1.0 - a_obj) \
             * a_obj * (1 - a_obj)
 
-    # class one-hot delta at assigned location
+    # class delta at assigned location (delta_region_class:108-131)
+    if class_map is not None:
+        tcls = jnp.asarray(np.asarray(class_map, np.int32))[tcls]
     a_cls_prob = cls_prob[bsel, tj, ti, best_n]             # (B,30,C)
-    onehot = jax.nn.one_hot(tcls, c, dtype=a_cls_prob.dtype)
-    d_cls_assigned = spec.class_scale * (onehot - a_cls_prob)
+    if tree is not None:
+        pos, grp = tree.class_delta_masks(tcls)             # (B,30,C)
+        d_cls_assigned = jnp.where(
+            grp, spec.class_scale * (pos.astype(a_cls_prob.dtype)
+                                     - a_cls_prob), 0.0)
+    else:
+        onehot = jax.nn.one_hot(tcls, c, dtype=a_cls_prob.dtype)
+        d_cls_assigned = spec.class_scale * (onehot - a_cls_prob)
 
     # ---- scatter assigned deltas (sequential overwrite in reference;
     #      duplicate cells are rare and last-wins either way) ----------
@@ -175,6 +245,48 @@ def region_delta(raw_flat, truth, seen, spec: RegionSpec):
     d_coord = scatter(d_coord, d_assigned)
     d_obj = scatter(d_obj[..., None], d_obj_assigned[..., None])[..., 0]
     d_cls = scatter(d_cls, d_cls_assigned)
+
+    # ---- classification-only sentinel truths (tree co-training) ------
+    # region_layer.c:188-213: a truth with x,y > 100000 marks the batch
+    # item as classification-only: find the location maximizing
+    # objectness * hierarchy path probability of the class, apply ONLY
+    # the class delta there (class id NOT remapped), skip all box/obj
+    # deltas for the item.
+    if tree is not None:
+        raw_tcls = truth[..., 4].astype(jnp.int32)
+        sentinel = (tboxes[..., 0] > 100000) & (tboxes[..., 1] > 100000) \
+            & tmask
+        has_sent = jnp.any(sentinel, axis=1)                 # (B,)
+        first = jnp.argmax(sentinel, axis=1)                 # (B,)
+        s_cls = raw_tcls[jnp.arange(b), first]               # (B,)
+
+        chain = jnp.asarray(tree.chain)
+        valid = jnp.asarray(tree.chain_valid)
+        path = chain[s_cls]                                  # (B, D)
+        pvalid = valid[s_cls]
+        gathered = jnp.take_along_axis(
+            cls_prob.reshape(b, -1, c)[:, :, :],
+            path[:, None, :], axis=2)                        # (B, HWA, D)
+        path_prob = jnp.prod(jnp.where(pvalid[:, None, :], gathered, 1.0),
+                             axis=-1)                        # (B, HWA)
+        score = obj.reshape(b, -1) * path_prob
+        best_loc = jnp.argmax(score, axis=1)                 # (B,)
+
+        pos_s, grp_s = tree.class_delta_masks(s_cls)         # (B, C)
+        cls_at = jnp.take_along_axis(
+            cls_prob.reshape(b, -1, c), best_loc[:, None, None]
+            .repeat(c, axis=2), axis=1)[:, 0, :]             # (B, C)
+        d_s = jnp.where(grp_s, spec.class_scale *
+                        (pos_s.astype(cls_at.dtype) - cls_at), 0.0)
+        loc_onehot = jax.nn.one_hot(best_loc, h * w * a,
+                                    dtype=d_s.dtype)         # (B, HWA)
+        d_cls_sent = (loc_onehot[..., None] * d_s[:, None, :]
+                      ).reshape(b, h, w, a, c)
+
+        sel = has_sent[:, None, None, None]
+        d_coord = jnp.where(sel[..., None], 0.0, d_coord)
+        d_obj = jnp.where(sel, 0.0, d_obj)
+        d_cls = jnp.where(sel[..., None], d_cls_sent, d_cls)
 
     delta = jnp.concatenate([d_coord, d_obj[..., None], d_cls], axis=-1)
     acts = jnp.concatenate([raw[..., :4], obj[..., None], cls_prob],
@@ -211,6 +323,43 @@ def _coord_delta(raw, sig_xy, tgt, anchors, col, row, w, h, scale):
 # ---------------------------------------------------------------------------
 
 
+def make_region_loss(spec: RegionSpec, tree=None, class_map=None):
+    """Build loss(raw_flat, truth, seen) -> cost with the darknet-exact
+    gradient (-delta). tree: io.tree.WordTree or TreeInfo."""
+    tinfo = None
+    if tree is not None:
+        tinfo = tree if isinstance(tree, TreeInfo) else TreeInfo(tree)
+
+    @jax.custom_vjp
+    def loss(raw_flat, truth, seen):
+        _, delta, _ = region_delta(raw_flat, truth, seen, spec,
+                                   tree=tinfo, class_map=class_map)
+        return jnp.sum(jnp.square(delta))
+
+    def fwd(raw_flat, truth, seen):
+        _, delta, _ = region_delta(raw_flat, truth, seen, spec,
+                                   tree=tinfo, class_map=class_map)
+        return jnp.sum(jnp.square(delta)), delta
+
+    def bwd(delta, g):
+        # darknet semantics: delta is the NEGATIVE gradient wrt the
+        # region input (backward_region_layer axpys delta upstream);
+        # g scales for composition with outer fns.
+        return (-delta * g, None, None)
+
+    loss.defvjp(fwd, bwd)
+
+    def loss_with_stats(raw_flat, truth, seen):
+        cost = loss(raw_flat, truth, seen)
+        _, _, stats = region_delta(jax.lax.stop_gradient(raw_flat), truth,
+                                   seen, spec, tree=tinfo,
+                                   class_map=class_map)
+        return cost, stats
+
+    return loss, loss_with_stats
+
+
+# plain-softmax convenience wrappers (kept for existing callers)
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def region_loss(raw_flat, truth, seen, spec):
     _, delta, _ = region_delta(raw_flat, truth, seen, spec)
@@ -223,10 +372,6 @@ def _region_loss_fwd(raw_flat, truth, seen, spec):
 
 
 def _region_loss_bwd(spec, delta, g):
-    # darknet semantics: delta is the NEGATIVE gradient wrt the region
-    # input; the scalar cost is reported, but the backward pass uses
-    # delta directly (backward_region_layer axpys delta into the
-    # upstream gradient) — g scales it for composition with outer fns.
     return (-delta * g, None, None)
 
 
@@ -241,4 +386,5 @@ def region_loss_with_stats(raw_flat, truth, seen, spec):
     return cost, stats
 
 
-__all__ = ["region_delta", "region_loss", "region_loss_with_stats"]
+__all__ = ["region_delta", "region_loss", "region_loss_with_stats",
+           "make_region_loss", "TreeInfo"]

@@ -21,11 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph import spec as S
-from ..graph.compiler import build_forward
+from ..graph.compiler import build_forward, resolve_trees
 from ..io.weights import init_params
 from ..parallel.mesh import (batch_sharding, make_mesh, replicated,
                              shard_params)
-from .region_loss import region_loss_with_stats
+from .detection_loss import detection_loss
+from .region_loss import make_region_loss
 from .sgd import init_velocity, learning_rate, sgd_update
 
 
@@ -65,8 +66,26 @@ def make_train_step(spec: S.NetworkSpec, *, mesh=None,
     """
     net = spec.net
     head_kind, head_idx = _find_head(spec)
-    fwd = build_forward(spec, compute_dtype=compute_dtype)
-    region = spec.layers[head_idx] if head_kind == "region" else None
+    trees = resolve_trees(spec)
+    fwd = build_forward(spec, trees=trees, compute_dtype=compute_dtype)
+    head = spec.layers[head_idx]
+    region_loss_ws = None
+    if head_kind == "region":
+        class_map = None
+        if head.map_file:
+            import os
+            from ..config import read_map
+            candidates = [head.map_file]
+            if spec.cfg_path:
+                candidates.append(os.path.join(
+                    os.path.dirname(os.path.abspath(spec.cfg_path)),
+                    os.path.basename(head.map_file)))
+            for cand in candidates:
+                if os.path.exists(cand):
+                    class_map = read_map(cand)
+                    break
+        _, region_loss_ws = make_region_loss(
+            head, tree=trees.get(head_idx), class_map=class_map)
     micro = net.batch
     subdivs = net.subdivisions
 
@@ -76,7 +95,12 @@ def make_train_step(spec: S.NetworkSpec, *, mesh=None,
         if head_kind == "region":
             raw = aux["outputs"][head_idx - 1]
             raw = raw.reshape(raw.shape[0], -1)
-            cost, stats = region_loss_with_stats(raw, truth, seen, region)
+            cost, stats = region_loss_ws(raw, truth, seen)
+        elif head_kind == "detection":
+            # yolov1 loss on the post-softmax detection output
+            out_flat = out if out.ndim == 2 else out.reshape(out.shape[0], -1)
+            cost = detection_loss(out_flat, truth, seen, head)
+            stats = {}
         elif head_kind == "cost":
             # SSE gradient contract (cost_layer.c + l2_cpu): delta =
             # scale*(truth-pred) wrt the head INPUT -> differentiate
@@ -84,7 +108,7 @@ def make_train_step(spec: S.NetworkSpec, *, mesh=None,
             cost = 0.5 * aux.get("cost", 0.0)
             stats = {}
         else:
-            raise NotImplementedError("yolov1 detection loss: next round")
+            raise NotImplementedError(head_kind)
         return cost, (aux.get("bn", {}), stats)
 
     def train_step(state: TrainState, x, truth, rng):

@@ -1,0 +1,164 @@
+"""Aux application tests: nightmare, demo streaming, cifar, super, go."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sr_object_detection_tpu.config import parse_cfg_text
+from sr_object_detection_tpu.graph import spec as S
+from sr_object_detection_tpu.io.weights import init_params
+from sr_object_detection_tpu.models.zoo import CfgBuilder
+
+
+def _small_classifier_spec():
+    b = CfgBuilder()
+    b.net(batch=1, width=32, height=32, channels=3)
+    b.conv(8, size=3, stride=2)
+    b.conv(16, size=3, stride=2)
+    b.section("avgpool")
+    b.section("softmax")
+    return b.build()
+
+
+def test_nightmare_ascent_increases_objective(tmp_path):
+    from sr_object_detection_tpu.apps.nightmare_app import make_dream_step
+    from sr_object_detection_tpu.graph.compiler import build_forward
+    spec = _small_classifier_spec()
+    params = jax.tree.map(jnp.asarray, init_params(spec, seed=0))
+    fwd = build_forward(spec)
+    grad = make_dream_step(spec, layer_index=1)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+
+    def obj(x):
+        _, aux = fwd(params, x, keep_all=True)
+        return float(jnp.sum(jnp.square(aux["outputs"][1])))
+
+    before = obj(x)
+    for _ in range(5):
+        g = grad(params, x)
+        x = jnp.clip(x + 0.1 * g / (jnp.mean(jnp.abs(g)) + 1e-8), 0, 1)
+    assert obj(x) > before * 1.05
+
+
+def test_streaming_demo_smoothing():
+    from sr_object_detection_tpu.apps.demo_app import StreamingDemo
+    from sr_object_detection_tpu.robot.frame_source import (
+        SyntheticRGBDSource)
+
+    class TinyDetector:
+        """Deterministic fake with the Detector interface surface."""
+
+        def preprocess(self, img):
+            return img[:64, :64]
+
+        def predict_batch(self, x):
+            n, c = 8, 4
+            boxes = jnp.tile(jnp.asarray([[0.5, 0.5, 0.2, 0.2]]), (n, 1))
+            probs = jnp.zeros((n, c)).at[0, 1].set(0.9)
+            return boxes[None], probs[None]
+
+        def _collect(self, boxes, probs, thresh):
+            from sr_object_detection_tpu.infer.detector import Detection
+            dets = []
+            cls = probs.argmax(1)
+            p = probs[np.arange(len(cls)), cls]
+            for i in np.nonzero(p > thresh)[0]:
+                dets.append(Detection(tuple(boxes[i]), int(cls[i]),
+                                      float(p[i])))
+            return dets
+
+    demo = StreamingDemo(TinyDetector(), SyntheticRGBDSource(n_frames=5))
+    results = demo.run()
+    assert len(results) == 5
+    assert all(len(r["detections"]) == 1 for r in results)
+    assert results[-1]["fps"] > 0
+
+
+def test_cifar_train_step(tmp_path):
+    from sr_object_detection_tpu.train.trainer import Trainer
+    b = CfgBuilder()
+    b.net(batch=16, width=32, height=32, channels=3, learning_rate=0.1,
+          momentum=0.9, policy="constant", max_batches=100)
+    b.section("crop", crop_width=28, crop_height=28, flip=0)
+    b.conv(16, size=3, stride=1, bn=True)
+    b.maxpool()
+    b.conv(10, size=1, bn=False, act="leaky")
+    b.section("avgpool")
+    b.section("softmax")
+    b.section("cost", type="sse")
+    spec = b.build()
+    trainer = Trainer(spec, seed=0)
+    rng = np.random.default_rng(0)
+    # learnable toy task: class = brightest corner quadrant
+    losses = []
+    for _ in range(80):
+        x = rng.random((16, 32, 32, 3)).astype(np.float32) * 0.2
+        cls = rng.integers(0, 4, 16)
+        for i, c in enumerate(cls):
+            ys, xs = divmod(int(c), 2)
+            x[i, ys * 16:(ys + 1) * 16, xs * 16:(xs + 1) * 16] += 0.7
+        y = np.zeros((16, 10), np.float32)
+        y[np.arange(16), cls] = 1
+        losses.append(float(trainer.step(x, y)["loss"]))
+    # SSE-on-softmax gradients are weak by design (darknet semantics);
+    # assert a clear downward trend rather than convergence
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.85, \
+        losses[::10]
+
+
+def test_deconv_super_resolution_shapes():
+    from sr_object_detection_tpu.graph.compiler import build_forward
+    cfg = """
+[net]
+batch=1
+height=16
+width=16
+channels=3
+
+[convolutional]
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[deconvolutional]
+filters=3
+size=4
+stride=2
+activation=logistic
+"""
+    spec = S.build_network_spec(parse_cfg_text(cfg))
+    dec = spec.layers[-1]
+    assert (dec.out_h, dec.out_w, dec.out_c) == (2 * 15 + 4, 2 * 15 + 4, 3)
+    params = init_params(spec, seed=0)
+    fwd = build_forward(spec)
+    out, _ = fwd(params, jnp.zeros((1, 16, 16, 3)))
+    assert out.shape == (1, 34, 34, 3)
+
+
+def test_go_engine_moves():
+    from sr_object_detection_tpu.apps.go_app import GoEngine, BOARD
+    b = CfgBuilder()
+    b.net(batch=1, width=BOARD, height=BOARD, channels=1)
+    b.conv(16, size=3, stride=1)
+    b.conv(1, size=1, bn=False, act="logistic")
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        cfg = os.path.join(td, "go.cfg")
+        with open(cfg, "w") as f:
+            f.write(b.text())
+        eng = GoEngine(cfg)
+        board = np.zeros((BOARD, BOARD), np.int8)
+        board[3, 3] = 1
+        board[15, 15] = -1
+        p = eng.move_probs(board)
+        assert p[3, 3] == 0 and p[15, 15] == 0   # occupied = illegal
+        assert abs(p.sum() - 1.0) < 1e-5
+        r, c = eng.best_move(board)
+        assert 0 <= r < BOARD and 0 <= c < BOARD
+        ranked = eng.legal_moves_ranked(board, k=5)
+        assert len(ranked) == 5

@@ -82,3 +82,69 @@ def test_train_region_bn():
 def test_train_classifier_subdivisions():
     _train_and_compare("train_classifier", wtol=1e-4, ctol=1e-3,
                        truth_kind="classifier")
+
+
+def test_train_yolov1_detection():
+    g = _load("train_yolov1")
+    cfg_text = bytes(g["cfg"]).decode()
+    net = S.build_network_spec(parse_cfg_text(cfg_text))
+    steps = int(g["steps"])
+    x = np.transpose(g["x_chw"], (0, 2, 3, 1)).copy()
+    truth = g["truth"].astype(np.float32)   # (B, side^2, 1+C+4)
+
+    trainer = Trainer(net, params=init_params(net, seed=int(g["seed"])))
+    costs = []
+    for _ in range(steps):
+        m = trainer.step(x, truth)
+        costs.append(float(m["loss"]))
+
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".weights") as f:
+        f.write(bytes(g["weights_after"]))
+        f.flush()
+        ref_params, _ = load_weights(net, f.name)
+    mine = jax.tree.map(np.asarray, trainer.state.params)
+    for i, l in enumerate(net.layers):
+        if not ref_params[i]:
+            continue
+        for k, ref in ref_params[i].items():
+            np.testing.assert_allclose(
+                mine[i][k], ref, rtol=1e-4, atol=1e-4,
+                err_msg=f"yolov1: layer {i} ({l.kind}) param {k}")
+    np.testing.assert_allclose(costs, g["costs"], rtol=1e-3)
+
+
+def test_train_tree_region_yolo9000_path():
+    """Hierarchical-softmax region training incl. a classification-only
+    sentinel truth (the YOLO9000 co-training mechanism)."""
+    g = _load("train_tree_region")
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        tree_path = os.path.join(td, "mini.tree")
+        with open(tree_path, "w") as f:
+            f.write(bytes(g["tree"]).decode())
+        cfg_text = bytes(g["cfg"]).decode().replace("{TREE}", tree_path)
+        net = S.build_network_spec(parse_cfg_text(cfg_text))
+        steps = int(g["steps"])
+        x = np.transpose(g["x_chw"], (0, 2, 3, 1)).copy()
+        truth = g["truth"].astype(np.float32)
+
+        trainer = Trainer(net, params=init_params(net, seed=int(g["seed"])))
+        costs = []
+        for _ in range(steps):
+            m = trainer.step(x, truth)
+            costs.append(float(m["loss"]))
+
+        with tempfile.NamedTemporaryFile(suffix=".weights") as f:
+            f.write(bytes(g["weights_after"]))
+            f.flush()
+            ref_params, _ = load_weights(net, f.name)
+    mine = jax.tree.map(np.asarray, trainer.state.params)
+    for i, l in enumerate(net.layers):
+        if not ref_params[i]:
+            continue
+        for k, ref in ref_params[i].items():
+            np.testing.assert_allclose(
+                mine[i][k], ref, rtol=2e-4, atol=2e-4,
+                err_msg=f"tree_region: layer {i} ({l.kind}) param {k}")
+    np.testing.assert_allclose(costs, g["costs"], rtol=1e-3)

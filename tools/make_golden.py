@@ -470,3 +470,204 @@ def main_train():
     gen_train_case("train_region_bn", TRAIN_REGION_BN, oracle_train)
     gen_train_case("train_classifier", TRAIN_CLASSIFIER, oracle_train,
                    with_truth="classifier")
+
+
+TRAIN_YOLOV1 = """
+[net]
+batch=2
+subdivisions=1
+height=28
+width=28
+channels=3
+momentum=0.9
+decay=0.0005
+learning_rate=0.005
+max_batches=100
+policy=constant
+
+[convolutional]
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[connected]
+output=117
+activation=linear
+
+[detection]
+classes=3
+coords=4
+rescore=1
+side=3
+num=2
+softmax=1
+sqrt=1
+jitter=.2
+object_scale=1
+noobject_scale=.5
+class_scale=1
+coord_scale=5
+"""
+
+
+def gen_train_yolov1(oracle_train: str, steps: int = 2, seed: int = 0):
+    # detection truth: side^2 cells x [is_obj, onehot(classes), x,y,w,h]
+    # with x,y relative to the image but *divided by side later* — the
+    # loader (fill_truth_region analog) stores cell-relative x,y
+    name = "train_yolov1"
+    cfg_text = TRAIN_YOLOV1
+    net = S.build_network_spec(parse_cfg_text(cfg_text))
+    params = init_params(net, seed=seed)
+    rng = np.random.default_rng(seed + 3000)
+    det = net.layers[-1]
+    outer = net.net.batch * net.net.subdivisions
+    x = rng.uniform(0, 1, (outer, net.net.c, net.net.h, net.net.w)
+                    ).astype(np.float32)
+    side, classes, coords = det.side, det.classes, det.coords
+    truth = np.zeros((outer, side * side, 1 + classes + coords), np.float32)
+    for b in range(outer):
+        for _ in range(2):
+            cell = int(rng.integers(0, side * side))
+            cls = int(rng.integers(0, classes))
+            truth[b, cell, 0] = 1
+            truth[b, cell, 1 + cls] = 1
+            truth[b, cell, 1 + classes:] = [
+                rng.uniform(0.2, 0.8) * side % 1,  # cell-relative x
+                rng.uniform(0.2, 0.8) * side % 1,
+                rng.uniform(0.1, 0.5), rng.uniform(0.1, 0.5)]
+    truth_flat = truth.reshape(outer, -1)
+
+    with tempfile.TemporaryDirectory() as td:
+        td = pathlib.Path(td)
+        save_weights(net, params, str(td / "w.weights"))
+        (td / "net.cfg").write_text(cfg_text)
+        (td / "x.bin").write_bytes(x.tobytes())
+        (td / "t.bin").write_bytes(truth_flat.tobytes())
+        subprocess.run(
+            [oracle_train, str(td / "net.cfg"), str(td / "w.weights"),
+             str(td / "x.bin"), str(td / "t.bin"), str(steps),
+             str(td / "out.weights"), str(td / "costs.bin")],
+            check=True, capture_output=True)
+        wout = (td / "out.weights").read_bytes()
+        costs = np.frombuffer((td / "costs.bin").read_bytes(), dtype="<f4")
+
+    np.savez_compressed(
+        GOLDEN / name,
+        cfg=np.frombuffer(cfg_text.encode(), dtype=np.uint8),
+        seed=np.int64(seed), steps=np.int64(steps),
+        x_chw=x, truth=truth, weights_after=np.frombuffer(wout, np.uint8),
+        costs=costs)
+    print(f"{name}: costs={costs}")
+
+
+TREE_TEXT = """n0 -1
+n1 -1
+n2 0
+n3 0
+n4 1
+n5 2
+n6 2
+"""
+
+TRAIN_TREE_REGION = """
+[net]
+batch=3
+subdivisions=1
+height=32
+width=32
+channels=3
+momentum=0.9
+decay=0.0005
+learning_rate=0.001
+max_batches=100
+policy=constant
+
+[convolutional]
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+filters=16
+size=3
+stride=4
+pad=1
+activation=leaky
+
+[convolutional]
+filters=24
+size=1
+stride=1
+pad=1
+activation=linear
+
+[region]
+anchors=1.2,1.3, 3.1,2.2
+bias_match=1
+classes=7
+coords=4
+num=2
+softmax=1
+rescore=1
+object_scale=5
+noobject_scale=1
+class_scale=1
+coord_scale=1
+thresh=.6
+tree={TREE}
+"""
+
+
+def gen_train_tree_region(oracle_train: str, steps: int = 2, seed: int = 0):
+    name = "train_tree_region"
+    with tempfile.TemporaryDirectory() as td:
+        td = pathlib.Path(td)
+        tree_path = td / "mini.tree"
+        tree_path.write_text(TREE_TEXT)
+        cfg_text = TRAIN_TREE_REGION.replace("{TREE}", str(tree_path))
+        net = S.build_network_spec(parse_cfg_text(cfg_text))
+        params = init_params(net, seed=seed)
+        rng = np.random.default_rng(seed + 4000)
+        outer = net.net.batch * net.net.subdivisions
+        x = rng.uniform(0, 1, (outer, net.net.c, net.net.h, net.net.w)
+                        ).astype(np.float32)
+        truth = np.zeros((outer, 30, 5), np.float32)
+        # items 0-1: normal boxes with leaf classes
+        truth[0, 0] = [0.4, 0.5, 0.3, 0.3, 3]
+        truth[0, 1] = [0.7, 0.3, 0.2, 0.2, 6]
+        truth[1, 0] = [0.5, 0.6, 0.4, 0.3, 4]
+        # item 2: classification-only sentinel (x,y > 100000)
+        truth[2, 0] = [999999, 999999, 999999, 999999, 5]
+        truth_flat = truth.reshape(outer, 150)
+
+        save_weights(net, params, str(td / "w.weights"))
+        (td / "net.cfg").write_text(cfg_text)
+        (td / "x.bin").write_bytes(x.tobytes())
+        (td / "t.bin").write_bytes(truth_flat.tobytes())
+        subprocess.run(
+            [oracle_train, str(td / "net.cfg"), str(td / "w.weights"),
+             str(td / "x.bin"), str(td / "t.bin"), str(steps),
+             str(td / "out.weights"), str(td / "costs.bin")],
+            check=True, capture_output=True)
+        wout = (td / "out.weights").read_bytes()
+        costs = np.frombuffer((td / "costs.bin").read_bytes(), dtype="<f4")
+
+    np.savez_compressed(
+        GOLDEN / name,
+        cfg=np.frombuffer(TRAIN_TREE_REGION.encode(), dtype=np.uint8),
+        tree=np.frombuffer(TREE_TEXT.encode(), dtype=np.uint8),
+        seed=np.int64(seed), steps=np.int64(steps),
+        x_chw=x, truth=truth, weights_after=np.frombuffer(wout, np.uint8),
+        costs=costs)
+    print(f"{name}: costs={costs}")
