@@ -160,3 +160,23 @@ def test_hierarchy_multiply_matches():
     ref = oracle.hierarchy_predictions(p, parent)
     got = np.asarray(B.hierarchy_multiply(p, parent))
     np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_pallas_nms_matches_xla_interpret():
+    """Pallas NMS kernel (interpret mode on CPU) vs the XLA path."""
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.kernels.nms_pallas import (
+        nms_sort_topk_pallas)
+    rng = np.random.default_rng(5)
+    n, c = 90, 7
+    boxes = np.stack([rng.uniform(0, 10, n), rng.uniform(0, 10, n),
+                      rng.uniform(.5, 3, n), rng.uniform(.5, 3, n)],
+                     axis=1).astype(np.float32)
+    probs = rng.uniform(0, 1, (n, c)).astype(np.float32)
+    probs[probs < 0.4] = 0
+    ref = np.asarray(B.nms_sort_topk(jnp.asarray(boxes),
+                                     jnp.asarray(probs), 0.45, k=n))
+    got = np.asarray(nms_sort_topk_pallas(
+        jnp.asarray(boxes), jnp.asarray(probs), 0.45, k=n,
+        interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
