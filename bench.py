@@ -51,6 +51,21 @@ def main():
     except Exception as e:  # latency path must not sink the headline
         print(f"latency bench skipped: {e}", file=sys.stderr)
 
+    try:
+        from sr_object_detection_tpu.models.zoo import yolov2
+        from sr_object_detection_tpu.io.weights import init_params as ip2
+        spec2 = yolov2(width=608, height=608)
+        eng2 = ThroughputEngine(spec2, ip2(spec2, seed=0), batch=32,
+                                dtype=jnp.bfloat16)
+        eng2.warmup()
+        r2 = eng2.benchmark(iters=15)
+        f2 = analytic_flops(spec2)
+        print(f"yolov2-coco-608: {r2['images_per_sec']:.0f} img/s "
+              f"(batch 32), {r2['images_per_sec']*f2/1e12:.1f} TFLOP/s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"yolov2-608 bench skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "tiny-yolo-voc-416 images/sec/chip",
         "value": round(ips, 1),
