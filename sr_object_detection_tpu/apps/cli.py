@@ -195,6 +195,37 @@ def cmd_rnn(argv):
     return run_char_rnn(argv)
 
 
+def cmd_art(argv):
+    from .misc_apps import art
+    return art(argv[0], argv[1], argv[2])
+
+
+def cmd_captcha(argv):
+    from .misc_apps import captcha
+    return captcha(argv[0], argv[1], argv[2])
+
+
+def cmd_tag(argv):
+    from .misc_apps import tag
+    names_file = find_value(argv, "-names", None)
+    names = None
+    if names_file:
+        from ..config import read_names
+        names = read_names(names_file)
+    return tag(argv[0], argv[1], argv[2], names=names)
+
+
+def cmd_compare(argv):
+    from .misc_apps import compare
+    return compare(argv[0], argv[1], argv[2], argv[3])
+
+
+def cmd_writing(argv):
+    from .misc_apps import writing
+    out = find_value(argv, "-out", "writing_out.ppm")
+    return writing(argv[0], argv[1], argv[2], out_path=out)
+
+
 def cmd_nightmare(argv):
     from .nightmare_app import run_nightmare
     return run_nightmare(argv)
@@ -225,6 +256,11 @@ COMMANDS = {
     "cifar": cmd_cifar,
     "super": cmd_super,
     "go": cmd_go,
+    "art": cmd_art,
+    "captcha": cmd_captcha,
+    "tag": cmd_tag,
+    "compare": cmd_compare,
+    "writing": cmd_writing,
     "speed": cmd_speed,
     "ops": cmd_ops,
     "partial": cmd_partial,

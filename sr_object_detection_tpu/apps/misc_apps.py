@@ -1,0 +1,169 @@
+"""Small demo applications over the shared runtime.
+
+The reference ships many thin CLI apps that all reuse the same network
+runtime (src_yolo2/: art.c, tag.c, captcha.c, writing.c, compare.c,
+dice.c, yolo.c, coco.c, swag.c, voxel.c). Their substance is a data
+format + a decode; the forward path is identical. Implemented here as
+compact functions over the compiled graph.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.spec import parse_network_cfg, DetectionSpec
+from ..graph.compiler import build_forward
+from ..io.weights import load_weights
+from ..ops.image import load_image_rgb, resize_image_np, letterbox_image_np
+
+
+def _load(cfg, weights):
+    spec = parse_network_cfg(cfg)
+    params, _ = load_weights(spec, weights)
+    params = jax.tree.map(jnp.asarray, params)
+    fwd = build_forward(spec)
+    predict = jax.jit(lambda p, x: fwd(p, x)[0])
+    return spec, params, predict
+
+
+def art(cfg: str, weights: str, image_path: str) -> float:
+    """art.c:1-88: aesthetics score = normalized rank of neuron 0's
+    activation (the reference prints a star meter from the score)."""
+    spec, params, predict = _load(cfg, weights)
+    im = letterbox_image_np(load_image_rgb(image_path),
+                            spec.net.w, spec.net.h)
+    out = np.asarray(predict(params, jnp.asarray(im)[None]))[0].ravel()
+    p = out[0]
+    score = float((out < p).mean())   # rank of neuron 0 among all outputs
+    stars = int(score * 10)
+    print("[" + "*" * stars + " " * (10 - stars) + f"] {score:.3f}")
+    return score
+
+
+NUMCHARS = 37   # data.c:318 — a-z, 0-9, '.'
+
+
+def _int_to_alphanum(i: int) -> str:
+    if i == 36:
+        return "."
+    if i < 10:
+        return chr(ord("0") + i)
+    return chr(ord("a") + i - 10)
+
+
+def captcha(cfg: str, weights: str, image_path: str) -> str:
+    """captcha.c predict: per-position 37-way argmax
+    (data.c print_letters:308-316)."""
+    spec, params, predict = _load(cfg, weights)
+    im = resize_image_np(load_image_rgb(image_path),
+                         spec.net.w, spec.net.h)
+    out = np.asarray(predict(params, jnp.asarray(im)[None]))[0].ravel()
+    n = len(out) // NUMCHARS
+    chars = [_int_to_alphanum(int(out[i * NUMCHARS:(i + 1) * NUMCHARS]
+                                  .argmax())) for i in range(n)]
+    s = "".join(chars)
+    print(s)
+    return s
+
+
+def tag(cfg: str, weights: str, image_path: str, names=None, k: int = 10):
+    """tag.c: multi-label prediction — top-k independent tag scores."""
+    spec, params, predict = _load(cfg, weights)
+    im = resize_image_np(load_image_rgb(image_path),
+                         spec.net.w, spec.net.h)
+    out = np.asarray(predict(params, jnp.asarray(im)[None]))[0].ravel()
+    order = np.argsort(-out)[:k]
+    results = [(int(i), float(out[i]),
+                names[int(i)] if names else None) for i in order]
+    for i, p, name in results:
+        print(f"{p:.4f}: {name or i}")
+    return results
+
+
+def compare(cfg: str, weights: str, image_a: str, image_b: str) -> float:
+    """compare.c: feed two images stacked channelwise (6ch input) and
+    read the comparison score."""
+    spec, params, predict = _load(cfg, weights)
+    a = resize_image_np(load_image_rgb(image_a), spec.net.w, spec.net.h)
+    b = resize_image_np(load_image_rgb(image_b), spec.net.w, spec.net.h)
+    x = np.concatenate([a, b], axis=2)[None]
+    out = np.asarray(predict(params, jnp.asarray(x)))[0].ravel()
+    print(f"compare score: {out[0]:.6f}")
+    return float(out[0])
+
+
+def writing(cfg: str, weights: str, image_path: str, out_path=None):
+    """writing.c: dense per-pixel prediction (e.g. handwriting mask);
+    the network output is an image-shaped map."""
+    spec, params, predict = _load(cfg, weights)
+    im = resize_image_np(load_image_rgb(image_path),
+                         spec.net.w, spec.net.h)
+    out = np.asarray(predict(params, jnp.asarray(im)[None]))[0]
+    if out.ndim == 2:
+        last = spec.layers[spec.output_layer_index()]
+        out = out.reshape(last.out_c, last.out_h, last.out_w)
+        out = np.transpose(out, (1, 2, 0))
+    mask = np.repeat(out[..., :1], 3, axis=2)
+    if out_path:
+        from .nightmare_app import _save_ppm
+        _save_ppm(out_path, mask)
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# YOLOv1 pipelines (yolo.c / coco.c): decode + truth packing
+# ---------------------------------------------------------------------------
+
+VOC_NAMES = ["aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
+             "car", "cat", "chair", "cow", "diningtable", "dog", "horse",
+             "motorbike", "person", "pottedplant", "sheep", "sofa",
+             "train", "tvmonitor"]
+
+
+def decode_detection_boxes(output, spec: DetectionSpec):
+    """get_detection_boxes (detection_layer.c:224-250): flat v1 output
+    -> (boxes (side^2*n, 4) relative, probs (side^2*n, classes))."""
+    s2 = spec.side * spec.side
+    nc, nb = spec.classes, spec.n
+    cls = output[:s2 * nc].reshape(s2, nc)
+    obj = output[s2 * nc:s2 * (nc + nb)].reshape(s2, nb)
+    raw = output[s2 * (nc + nb):].reshape(s2, nb, 4)
+    rows, cols = np.divmod(np.arange(s2), spec.side)
+    bx = (raw[..., 0] + cols[:, None]) / spec.side
+    by = (raw[..., 1] + rows[:, None]) / spec.side
+    pw = raw[..., 2] ** (2 if spec.sqrt else 1)
+    ph = raw[..., 3] ** (2 if spec.sqrt else 1)
+    boxes = np.stack([bx, by, pw, ph], axis=-1).reshape(-1, 4)
+    probs = (obj[..., None] * cls[:, None, :]).reshape(-1, nc)
+    return boxes, probs
+
+
+def fill_truth_region_np(labels: np.ndarray, side: int, classes: int
+                         ) -> np.ndarray:
+    """YOLOv1 grid truth (data.c fill_truth_region:247-293):
+    per cell [is_obj, onehot, cell-rel x, cell-rel y, w, h] — note our
+    detection loss consumes [is_obj, onehot, x, y, w, h] with 4 coords.
+    labels: (N, 5) [id, x, y, w, h]."""
+    truth = np.zeros((side * side, 1 + classes + 4), np.float32)
+    for row_ in labels:
+        cid, x, y, w, h = row_
+        if w < 0.01 or h < 0.01:
+            continue
+        col = min(int(x * side), side - 1)
+        row = min(int(y * side), side - 1)
+        idx = col + row * side
+        if truth[idx, 0]:
+            continue
+        truth[idx, 0] = 1
+        if int(cid) < classes:
+            truth[idx, 1 + int(cid)] = 1
+        truth[idx, 1 + classes:] = [x * side - col, y * side - row, w, h]
+    return truth
+
+
+__all__ = ["art", "captcha", "tag", "compare", "writing",
+           "decode_detection_boxes", "fill_truth_region_np",
+           "VOC_NAMES", "NUMCHARS"]
