@@ -178,8 +178,32 @@ def validate_recall(data_cfg: str, cfg: str, weights: str,
     return r
 
 
+def demo_detector(cfg: str, weights: str, argv: list[str]):
+    """detector demo (demo.c:118-252) over an image-directory source:
+    fetch/detect overlap + 3-frame smoothing."""
+    from ..infer.detector import Detector
+    from ..robot.frame_source import ImageDirectorySource
+    from .demo_app import StreamingDemo
+    pattern = find_value(argv, "-frames", "frames/*.ppm")
+    names_file = find_value(argv, "-names", None)
+    names = read_names(names_file) if names_file else None
+    thresh = find_value(argv, "-thresh", 0.24, float)
+    det = Detector(cfg, weights, names=names)
+    demo = StreamingDemo(det, ImageDirectorySource(pattern),
+                         thresh=thresh)
+
+    def show(r):
+        labels = ", ".join(f"{d.name or d.class_id}:{d.prob:.2f}"
+                           for d in r["detections"])
+        print(f"FPS:{r['fps']:.1f}  {labels}")
+
+    return demo.run(on_result=show)
+
+
 def run_detector(argv: list[str]):
     sub = argv.pop(0)
+    if sub == "demo":
+        return demo_detector(argv[1], argv[2], argv[3:])
     data_cfg, cfg = argv[0], argv[1]
     weights = argv[2] if len(argv) > 2 and not argv[2].startswith("-") \
         else None

@@ -42,9 +42,10 @@ def _resolve_tree(spec_layer, search_dirs) -> Optional[WordTree]:
     tf = spec_layer.tree_file
     candidates = [tf] + [os.path.join(d, os.path.basename(tf))
                          for d in search_dirs]
+    pad_to = getattr(spec_layer, "classes", None)
     for c in candidates:
         if os.path.exists(c):
-            return read_tree(c)
+            return read_tree(c, pad_to=pad_to)
     raise FileNotFoundError(f"tree file not found: {tf}")
 
 

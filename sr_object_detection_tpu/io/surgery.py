@@ -149,3 +149,22 @@ def statistics(params, spec: S.NetworkSpec):
 
 __all__ = ["partial", "average", "rescale", "rescale_net", "rgbgr_net",
            "denormalize_net", "normalize_net", "statistics"]
+
+
+def transfer(src_params, src_spec, dst_spec, dst_params):
+    """Copy shape-matching layer weights from one net into another —
+    the generalized form of the reference's ad-hoc 'oneoff' transfer
+    surgery (darknet.c:133-156): layers whose parameter shapes agree
+    are copied; everything else keeps the destination's init."""
+    out = []
+    copied = 0
+    for i, dp in enumerate(dst_params):
+        if i < len(src_params) and src_params[i] and dp:
+            sp = src_params[i]
+            if all(k in sp and np.shape(sp[k]) == np.shape(dp[k])
+                   for k in dp):
+                out.append({k: np.asarray(sp[k]).copy() for k in dp})
+                copied += 1
+                continue
+        out.append(dp)
+    return out, copied

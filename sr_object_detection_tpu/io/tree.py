@@ -29,7 +29,7 @@ class WordTree:
         return len(self.group_size)
 
 
-def read_tree(path: str) -> WordTree:
+def read_tree(path: str, pad_to: int | None = None) -> WordTree:
     parents: list[int] = []
     names: list[str] = []
     group_sizes: list[int] = []
@@ -41,12 +41,18 @@ def read_tree(path: str) -> WordTree:
     n = 0
     with open(path, "r", encoding="utf-8", errors="replace") as f:
         for raw in f:
-            line = raw.strip()
+            # the shipped 9k.tree contains embedded NULs (corrupt export);
+            # the C reference tolerates them because sscanf stops at the
+            # first NUL — mirror that robustness
+            line = raw.replace("\x00", " ").strip()
             if not line:
                 continue
             parts = line.split()
             name = parts[0]
-            parent = int(parts[1]) if len(parts) > 1 else -1
+            try:
+                parent = int(parts[1]) if len(parts) > 1 else -1
+            except ValueError:
+                parent = -1
             parents.append(parent)
             names.append(name)
             if parent != last_parent:
@@ -55,6 +61,22 @@ def read_tree(path: str) -> WordTree:
                 group_sizes.append(group_size)
                 group_size = 0
                 last_parent = parent
+            group_ids.append(groups)
+            n += 1
+            group_size += 1
+    # graceful handling of the truncated 9k.tree shipped with the
+    # reference (8714 records for 9418 declared classes — the C code
+    # reads out of bounds here): pad missing tail nodes as independent
+    # roots, each its own sibling group.
+    if pad_to is not None and n < pad_to:
+        for extra in range(n, pad_to):
+            groups += 1
+            group_offsets.append(n - group_size)
+            group_sizes.append(group_size)
+            group_size = 0
+            last_parent = -2 - extra   # force a fresh group every node
+            parents.append(-1)
+            names.append(f"<pad{extra}>")
             group_ids.append(groups)
             n += 1
             group_size += 1
@@ -71,6 +93,9 @@ def read_tree(path: str) -> WordTree:
     group_offsets_arr = np.asarray(group_offsets, np.int32)
 
     parent_arr = np.asarray(parents, np.int32)
+    # dangling parents (truncated file referencing missing nodes) are
+    # treated as roots so downstream gathers stay in bounds
+    parent_arr = np.where(parent_arr >= n, -1, parent_arr)
     leaf = np.ones(n, bool)
     valid = parent_arr >= 0
     leaf[parent_arr[valid]] = False
