@@ -145,6 +145,11 @@ def conv_block(x, params, spec, activation_fn, *, train: bool = False,
                 params["rolling_variance"])
     y = y + params["biases"]
     y = activation_fn(y)
+    if compute_dtype is not None and not train:
+        # store activations in the compute dtype: the cast fuses into the
+        # conv epilogue and halves inter-layer HBM traffic (the fp32
+        # accumulate stays inside the MXU)
+        y = y.astype(compute_dtype)
     if train:
         return y, bn_updates
     return y
