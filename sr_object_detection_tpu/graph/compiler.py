@@ -159,6 +159,11 @@ def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None):
                     cur = C.connected(cur, params[i], act,
                                       batch_normalize=l.batch_normalize)
 
+            elif isinstance(l, S.FusedConvPoolSpec):
+                cur = _as_nhwc(cur, l)
+                cur = _fused_conv_pool(cur, params[i], l,
+                                       compute_dtype=compute_dtype)
+
             elif isinstance(l, S.MaxPoolSpec):
                 cur = _as_nhwc(cur, l)
                 cur = P.maxpool(cur, size=l.size, stride=l.stride, pad=l.pad)
@@ -303,6 +308,39 @@ def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None):
         return saved[out_idx], aux
 
     return forward
+
+
+def _fused_conv_pool(x, params, l: S.FusedConvPoolSpec, *,
+                     compute_dtype=None):
+    """Polyphase conv+pool: one stride-2 4x4 conv with 4F phase
+    channels, max over phases, then bias+activation.
+
+    Why: a 3-in-channel 3x3 conv runs the MXU at K=27/N=16 of 128x128
+    (~2.6% utilization) and the separate maxpool costs a full HBM round
+    trip. The rewrite packs the four 2x2-pool phases into output
+    channels: K=4*4*C, N=4*F, stride 2 — 1.78x the MACs at ~7x the MXU
+    utilization, pool fused as a channel-group max in the epilogue.
+    Exactness: identical arithmetic regrouped; max commutes with the
+    (monotonic) activation and the per-filter bias.
+    """
+    w4 = params["weights"]      # (4, 4, C, 4F) prebuilt by the optimizer
+    f = l.filters
+    xin = x
+    if compute_dtype is not None:
+        xin = x.astype(compute_dtype)
+        w4 = w4.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        xin, w4, window_strides=(2, 2), padding=((1, 2), (1, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    b, ho, wo, _ = y.shape
+    y = jnp.max(y.reshape(b, ho, wo, 4, f), axis=3)
+    y = y + params["biases"]
+    y = A.get_activation(l.activation)(y)
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)
+    return y
 
 
 def _crop_forward(x, l: S.CropSpec, *, train: bool, rng):

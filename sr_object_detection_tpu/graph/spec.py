@@ -182,6 +182,17 @@ class ConvSpec(LayerSpec):
 
 
 @dataclass(frozen=True)
+class FusedConvPoolSpec(LayerSpec):
+    """Inference-only rewrite of [3x3/s1/p1 conv + 2x2/s2 maxpool]:
+    a stride-2 4x4 conv producing 4*filters phase channels, followed by
+    a max over the 4 pooling phases, then bias+activation. Exact for
+    monotonic activations (max commutes). Built by
+    infer.engine.optimize_for_inference; never parsed from cfg."""
+    filters: int = 1           # ORIGINAL conv filters (output channels)
+    activation: str = "leaky"
+
+
+@dataclass(frozen=True)
 class LocalSpec(LayerSpec):
     filters: int = 1
     size: int = 1

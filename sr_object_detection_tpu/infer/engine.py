@@ -53,11 +53,87 @@ def fold_params_for_inference(spec: S.NetworkSpec, params, dtype=jnp.bfloat16):
     return new_params, folded
 
 
+_MONOTONIC_ACTS = {"leaky", "relu", "linear", "logistic", "relie",
+                   "ramp", "tanh", "elu", "hardtan", "lhtan", "loggy"}
+
+
+def fuse_conv_pool(spec: S.NetworkSpec, params):
+    """Graph rewrite: [conv 3x3/s1/p1 (monotonic act) -> maxpool 2x2/s2]
+    becomes one FusedConvPoolSpec (polyphase stride-2 4x4 conv + phase
+    max). Requires BN already folded. Exact; inference-only.
+
+    NOTE: measured SLOWER than XLA's native conv+reduce on v5e for the
+    darknet topologies (see ThroughputEngine.fuse_pool) — retained as an
+    opt-in because the trade (1.78x MACs for ~7x naive MXU utilization)
+    may pay off on other generations or wider first layers."""
+    import dataclasses
+    import numpy as np
+    new_layers: list = []
+    new_params: list = []
+    live = set()
+    for l in spec.layers:
+        if isinstance(l, S.RouteSpec):
+            live.update(l.layers)
+        elif isinstance(l, S.ShortcutSpec):
+            live.add(l.from_index)
+
+    i = 0
+    layers = spec.layers
+    while i < len(layers):
+        l = layers[i]
+        nxt = layers[i + 1] if i + 1 < len(layers) else None
+        fusable = (
+            isinstance(l, S.ConvSpec) and not l.batch_normalize
+            and l.size == 3 and l.stride == 1 and l.pad == 1
+            and l.activation in _MONOTONIC_ACTS
+            and isinstance(nxt, S.MaxPoolSpec)
+            and nxt.size == 2 and nxt.stride == 2 and nxt.pad == 0
+            and l.out_h % 2 == 0 and l.out_w % 2 == 0
+            and l.index not in live      # conv output must be private
+        )
+        if fusable:
+            p = params[i]
+            w = np.asarray(p["weights"])          # (3,3,C,F)
+            c, f = w.shape[2], w.shape[3]
+            w4 = np.zeros((4, 4, c, 4 * f), w.dtype)
+            for py in range(2):
+                for px in range(2):
+                    ph = py * 2 + px
+                    # W4[a,b,c,ph*F+f] = W[a-py, b-px, c, f]
+                    w4[py:py + 3, px:px + 3, :, ph * f:(ph + 1) * f] = w
+            fused = S.FusedConvPoolSpec(
+                index=l.index, h=l.h, w=l.w, c=l.c, inputs=l.inputs,
+                out_h=nxt.out_h, out_w=nxt.out_w, out_c=f,
+                outputs=nxt.outputs, filters=f, activation=l.activation)
+            new_layers.append(fused)
+            new_params.append({"weights": w4,
+                               "biases": np.asarray(p["biases"])})
+            # keep a placeholder so route/shortcut indices stay aligned
+            new_layers.append(dataclasses.replace(
+                nxt, size=1, stride=1, pad=0,
+                out_h=nxt.out_h, out_w=nxt.out_w))
+            new_params.append({})
+            i += 2
+            continue
+        new_layers.append(l)
+        new_params.append(params[i])
+        i += 1
+
+    return S.NetworkSpec(net=spec.net, layers=tuple(new_layers),
+                         cfg_path=spec.cfg_path), new_params
+
+
 class ThroughputEngine:
     """Batched jitted forward for maximum images/sec."""
 
     def __init__(self, spec: S.NetworkSpec, params, *, batch: int = 64,
-                 dtype=jnp.bfloat16, fold_bn: bool = True):
+                 dtype=jnp.bfloat16, fold_bn: bool = True,
+                 fuse_pool: bool = False):
+        # fuse_pool: polyphase conv+pool rewrite (fuse_conv_pool). Exact
+        # and correctness-tested, but MEASURED SLOWER on v5e (XLA's
+        # native small-channel conv path beats the 1.78x-MACs polyphase
+        # form: 8.0k vs 13.0k img/s on tiny-yolo-416) — off by default,
+        # kept for other topologies/generations.
         self.batch = batch
         self.dtype = dtype
         if fold_bn:
@@ -66,6 +142,11 @@ class ThroughputEngine:
         else:
             self.params = jax.tree.map(jnp.asarray, params)
             self.spec = spec
+        if fuse_pool:
+            self.spec, self.params = fuse_conv_pool(self.spec, self.params)
+            self.params = jax.tree.map(
+                lambda a: jnp.asarray(a, dtype)
+                if getattr(a, "ndim", 0) >= 1 else a, self.params)
         compiled = CompiledNetwork(self.spec, compute_dtype=dtype)
         fwd = compiled.forward
 

@@ -20,6 +20,13 @@ def maxpool(x, *, size: int, stride: int, pad: int):
     h, w = x.shape[1], x.shape[2]
     out_h = (h + 2 * pad) // stride
     out_w = (w + 2 * pad) // stride
+    if (size == stride and pad == 0 and h % size == 0 and w % size == 0):
+        # non-overlapping exact tiling: reshape+max lets XLA fuse the
+        # reduction into the producing conv's epilogue (reduce_window
+        # blocks that fusion and costs a full HBM round trip)
+        b, _, _, c = x.shape
+        v = x.reshape(b, out_h, size, out_w, size, c)
+        return jnp.max(v, axis=(2, 4))
     # right/bottom padding so the last window fits: the reference reads
     # out-of-bounds taps as -FLT_MAX (maxpool_layer.c:101-103); padding
     # with -inf reproduces that for both the -pad left offset and the

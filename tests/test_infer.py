@@ -93,3 +93,18 @@ def test_analytic_flops_tiny_yolo():
     spec = zoo.tiny_yolo_voc()
     g = analytic_flops(spec) / 1e9
     assert 6.5 < g < 7.5  # ~6.97 GFLOPs, matches darknet 'ops'
+
+
+def test_fuse_conv_pool_exactness():
+    """Polyphase conv+pool rewrite must match the standard path."""
+    from sr_object_detection_tpu.infer.engine import fuse_conv_pool
+    spec = zoo.tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=4)
+    fp, fspec = fold_params_for_inference(spec, params, jnp.float32)
+    x = np.random.default_rng(1).random((2, 64, 64, 3)).astype(np.float32)
+    ref, _ = build_forward(fspec)(fp, x)
+    ospec, oparams = fuse_conv_pool(fspec, fp)
+    assert any(l.kind == "fusedconvpool" for l in ospec.layers)
+    got, _ = build_forward(ospec)(oparams, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
