@@ -66,3 +66,38 @@ def test_mini_parity(name):
 @pytest.mark.parametrize("name", FULL_CASES)
 def test_full_network_parity(name):
     _run(name, tol=2e-4)
+
+
+def test_detector_decode_nms_parity(tmp_path):
+    """Full decode path vs the C oracle: get_region_boxes + do_nms_sort
+    (boxes relative, probs thresholded then class-NMS'd)."""
+    import jax
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.io.weights import save_weights
+    from sr_object_detection_tpu.infer.detector import Detector
+    from sr_object_detection_tpu.ops import boxes as B
+
+    g = _load("detect_tiny_yolo")
+    cfg_text = bytes(g["cfg"]).decode()
+    cfg_file = tmp_path / "net.cfg"
+    cfg_file.write_text(cfg_text)
+    net = S.build_network_spec(parse_cfg_text(cfg_text))
+    params = init_params(net, seed=int(g["seed"]))
+    wfile = tmp_path / "w.weights"
+    save_weights(net, params, str(wfile))
+
+    det = Detector(str(cfg_file), str(wfile))
+    x = np.transpose(g["input_chw"], (1, 2, 0))[None]
+    boxes, probs = det.predict_batch(jnp.asarray(x))
+    boxes = np.asarray(boxes[0])
+    probs = np.asarray(probs[0])
+    thresh = float(g["thresh"])
+    nms = float(g["nms"])
+    probs = np.where(probs > thresh, probs, 0.0)
+    probs = np.asarray(B.nms_sort_topk(jnp.asarray(boxes),
+                                       jnp.asarray(probs), nms,
+                                       k=len(boxes)))
+    np.testing.assert_allclose(boxes, g["boxes"], rtol=2e-4, atol=2e-4)
+    # NMS suppression pattern must match exactly; values to float tol
+    np.testing.assert_array_equal(probs > 0, g["probs"] > 0)
+    np.testing.assert_allclose(probs, g["probs"], rtol=3e-4, atol=3e-4)

@@ -671,3 +671,37 @@ def gen_train_tree_region(oracle_train: str, steps: int = 2, seed: int = 0):
         x_chw=x, truth=truth, weights_after=np.frombuffer(wout, np.uint8),
         costs=costs)
     print(f"{name}: costs={costs}")
+
+
+def gen_detect_case(name: str, cfg_path: str, oracle_detect: str,
+                    thresh: float = 0.1, nms: float = 0.4, seed: int = 0):
+    """Decode-parity golden: boxes+probs after get_region_boxes+NMS."""
+    cfg_text = pathlib.Path(cfg_path).read_text()
+    net = S.build_network_spec(parse_cfg_text(cfg_text))
+    params = init_params(net, seed=seed)
+    rng = np.random.default_rng(seed + 5000)
+    x_chw = rng.uniform(0, 1, (net.net.c, net.net.h, net.net.w)
+                        ).astype(np.float32)
+    region = net.layers[-1]
+    n = region.h * region.w * region.n
+    with tempfile.TemporaryDirectory() as td:
+        td = pathlib.Path(td)
+        save_weights(net, params, str(td / "w.weights"))
+        (td / "net.cfg").write_text(cfg_text)
+        (td / "in.bin").write_bytes(x_chw.tobytes())
+        subprocess.run(
+            [oracle_detect, str(td / "net.cfg"), str(td / "w.weights"),
+             str(td / "in.bin"), str(td / "boxes.bin"),
+             str(td / "probs.bin"), str(thresh), str(nms)],
+            check=True, capture_output=True)
+        boxes = np.frombuffer((td / "boxes.bin").read_bytes(),
+                              dtype="<f4").reshape(n, 4).copy()
+        probs = np.frombuffer((td / "probs.bin").read_bytes(),
+                              dtype="<f4").reshape(n, region.classes).copy()
+    np.savez_compressed(
+        GOLDEN / name,
+        cfg=np.frombuffer(cfg_text.encode(), dtype=np.uint8),
+        seed=np.int64(seed), thresh=np.float32(thresh),
+        nms=np.float32(nms), input_chw=x_chw, boxes=boxes, probs=probs)
+    nonzero = (probs > 0).sum()
+    print(f"{name}: {n} boxes, {nonzero} surviving probs")
