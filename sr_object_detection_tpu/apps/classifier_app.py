@@ -133,4 +133,50 @@ def run_classifier(argv: list[str]):
         return train_classifier(data_cfg, cfg, weights, rest)
     if sub == "valid":
         return validate_classifier(data_cfg, cfg, weights, rest)
+    if sub in ("valid_multi", "validmulti"):
+        return validate_classifier_multi(data_cfg, cfg, weights, rest)
     raise SystemExit(f"unknown classifier subcommand {sub}")
+
+
+def validate_classifier_multi(data_cfg: str, cfg: str, weights: str,
+                              argv: list[str]):
+    """validate_classifier_multi (classifier.c:472-534): average
+    predictions over multiple scales + horizontal flips."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ..infer.classifier import Classifier
+    from ..ops.image import load_image_rgb, resize_image_np
+
+    options = read_data_cfg(data_cfg)
+    valid_list = options.get("valid", "data/valid.list")
+    labels = read_names(options["labels"]) if "labels" in options else \
+        read_names(options["names"])
+    topk = find_value(argv, "-topk", int(options.get("top", 5)), int)
+    clf = Classifier(cfg, weights, names=labels)
+    base = clf.spec.net.w
+    scales = [int(base * s) for s in (1.0, 1.15, 1.3)]
+
+    with open(valid_list) as f:
+        paths = [l.strip() for l in f if l.strip()]
+    top1 = topn = 0
+    for k, path in enumerate(paths):
+        truth = next((i for i, n in enumerate(labels) if n in path), 0)
+        img = load_image_rgb(path)
+        pred = None
+        for s in scales:
+            # classifier.c:512-519: resize to scale, predict image and
+            # its horizontal flip, accumulate
+            r = resize_image_np(img, s, s)
+            r = resize_image_np(r, base, base)
+            for flip in (False, True):
+                v = r[:, ::-1, :] if flip else r
+                import jax
+                p = np.asarray(clf._predict(
+                    clf.params, jnp.asarray(v[None])))[0]
+                pred = p if pred is None else pred + p
+        order = np.argsort(-pred)[:topk]
+        top1 += int(order[0] == truth)
+        topn += int(truth in order)
+    n = max(len(paths), 1)
+    print(f"multi-crop top1: {top1/n:.4f}, top{topk}: {topn/n:.4f}")
+    return top1 / n, topn / n

@@ -226,6 +226,11 @@ def cmd_writing(argv):
     return writing(argv[0], argv[1], argv[2], out_path=out)
 
 
+def cmd_robot(argv):
+    from .robot_app import run_robot
+    return run_robot(argv)
+
+
 def cmd_nightmare(argv):
     from .nightmare_app import run_nightmare
     return run_nightmare(argv)
@@ -256,6 +261,7 @@ COMMANDS = {
     "cifar": cmd_cifar,
     "super": cmd_super,
     "go": cmd_go,
+    "robot": cmd_robot,
     "art": cmd_art,
     "captcha": cmd_captcha,
     "tag": cmd_tag,

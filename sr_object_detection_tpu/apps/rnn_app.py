@@ -185,6 +185,34 @@ def generate_rnn(cfg: str, weights: str | None, argv: list[str]):
     return text
 
 
+def validate_rnn(cfg: str, weights: str, text_file: str,
+                 argv: list[str]):
+    """valid_char_rnn (rnn.c:390-430): mean log-loss / perplexity of the
+    model on a text stream, evaluated with the stateful sampler."""
+    import math
+    spec = S.parse_network_cfg(cfg)
+    params, _ = load_weights(spec, weights)
+    sampler = CharRNNSampler(spec, params)
+    with open(text_file, "rb") as f:
+        text = f.read()
+    limit = find_value(argv, "-len", 2000, int)
+    text = text[:limit + 1]
+    states = sampler.init_state()
+    total = 0.0
+    count = 0
+    for cur, nxt in zip(text[:-1], text[1:]):
+        x = np.zeros((1, VOCAB), np.float32)
+        x[0, cur] = 1.0
+        probs, states = sampler._step(sampler.params, jnp.asarray(x),
+                                      states)
+        p = float(np.asarray(probs)[0][nxt])
+        total += math.log(max(p, 1e-12))
+        count += 1
+    mean_ll = total / max(count, 1)
+    print(f"log-loss: {-mean_ll:.4f}  perplexity: {math.exp(-mean_ll):.2f}")
+    return -mean_ll
+
+
 def run_char_rnn(argv: list[str]):
     sub = argv.pop(0)
     if sub == "train":
@@ -193,4 +221,6 @@ def run_char_rnn(argv: list[str]):
     if sub == "generate":
         return generate_rnn(argv[0],
                             argv[1] if len(argv) > 1 else None, argv[2:])
+    if sub == "valid":
+        return validate_rnn(argv[0], argv[1], argv[2], argv[3:])
     raise SystemExit(f"unknown rnn subcommand {sub}")

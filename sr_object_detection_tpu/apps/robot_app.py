@@ -1,0 +1,58 @@
+"""robot: run the full perception loop from the CLI.
+
+The analog of the reference's YOLO2_main variants (YOLO2_main*.cpp:21-87:
+parse -cfgfile/-weightfile/-useThrift, build KinectUtil, run()):
+
+  robot run <cfg> <weights> [-source synthetic|<glob>] [-event E]
+            [-frames N] [-names file] [-nl path] [-ipc path]
+            [-detect-every N] [-maxdist meters]
+"""
+
+from __future__ import annotations
+
+from .cli import find_value, find_arg
+
+
+def run_robot(argv: list[str]):
+    sub = argv.pop(0) if argv and not argv[0].endswith(".cfg") else "run"
+    if sub != "run":
+        raise SystemExit(f"unknown robot subcommand {sub}")
+    cfg, weights = argv[0], argv[1]
+    source_spec = find_value(argv, "-source", "synthetic")
+    event = find_value(argv, "-event", "General")
+    max_frames = find_value(argv, "-frames", 30, int)
+    names_file = find_value(argv, "-names", None)
+    nl_path = find_value(argv, "-nl", "Objects.txt")
+    ipc_path = find_value(argv, "-ipc", None)
+    detect_every = find_value(argv, "-detect-every", 1, int)
+    max_dist = find_value(argv, "-maxdist", 0.0, float)
+
+    from ..infer.detector import Detector
+    from ..robot.frame_source import (SyntheticRGBDSource,
+                                      ImageDirectorySource)
+    from ..robot.pipeline import RobotPerception
+
+    names = None
+    if names_file:
+        from ..config import read_names
+        names = read_names(names_file)
+    det = Detector(cfg, weights, names=names)
+    if source_spec == "synthetic":
+        source = SyntheticRGBDSource(n_frames=max_frames)
+    else:
+        source = ImageDirectorySource(source_spec)
+
+    pipe = RobotPerception(det, names=names, event=event,
+                           max_distance=max_dist,
+                           detect_every=detect_every, nl_path=nl_path,
+                           ipc=ipc_path)
+    results = pipe.run(source, max_frames=max_frames)
+    for i, r in enumerate(results):
+        print(f"frame {i}: {r['sentence']}"
+              + (f"  [reminder: "
+                 f"{', '.join(d.get('name', str(d['class_id'])) for d in r['reminders'])}]"
+                 if r["reminders"] else ""))
+    return results
+
+
+__all__ = ["run_robot"]

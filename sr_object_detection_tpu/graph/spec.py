@@ -796,6 +796,12 @@ def _infer(net: NetSpec,
         # thread geometry to the next layer (parser.c:692-698)
         h, w, c, inputs = l.out_h, l.out_w, l.out_c, l.outputs
 
+    # option_unused analog (parser.c:671): warn on unrecognized keys
+    import sys as _sys
+    for _, sec in layer_sections:
+        for k in sec.unused_keys():
+            print(f"Warning: unused cfg option: {sec.type} {k}",
+                  file=_sys.stderr)
     return NetworkSpec(net=net, layers=tuple(layers), cfg_path=cfg_path)
 
 
