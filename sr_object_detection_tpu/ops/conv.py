@@ -29,10 +29,26 @@ BN_EPS = 1e-6  # blas.c:122 — added outside sqrt
 
 
 def conv2d(x, w, *, stride: int, pad: int, compute_dtype=None):
-    """NHWC conv. ``w`` is HWIO. Output fp32 unless x dtype narrower."""
+    """NHWC conv. ``w`` is HWIO.
+
+    compute_dtype=None (parity/training default): operands as given,
+    fp32 output via preferred_element_type. With a compute_dtype (the
+    bf16 production path): both operands cast and the conv runs natively
+    in that dtype — the TPU MXU still accumulates in fp32 internally,
+    and keeping operand/cotangent dtypes uniform lets autodiff build the
+    transposed convs without dtype mismatches.
+    """
     if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
+        y = lax.conv_general_dilated(
+            x.astype(compute_dtype), w.astype(compute_dtype),
+            window_strides=(stride, stride),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        # cast back to fp32 for the epilogue: XLA fuses it away, and in
+        # training the cast's transpose downcasts cotangents to the
+        # compute dtype so the transposed convs see uniform operands
+        return y.astype(jnp.float32)
     return lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
