@@ -430,7 +430,9 @@ def _local_forward(x, params, l: S.LocalSpec):
     p = patches.reshape(b, locations, k)
     y = jnp.einsum("blk,lnk->bln", p, w,
                    preferred_element_type=jnp.float32)
-    y = y + params["biases"].reshape(1, locations, l.filters)
+    # darknet local biases are laid out [n][locations] (the forward
+    # copies them straight into the CHW output, local_layer.c:98-100)
+    y = y + params["biases"].reshape(l.filters, locations).T[None]
     # darknet local output raster is (n, out_h, out_w) CHW
     y = y.reshape(b, l.out_h, l.out_w, l.filters)
     act = A.get_activation(l.activation)

@@ -37,6 +37,13 @@ def _run(name, tol):
     cfg_text = bytes(g["cfg"]).decode()
     net = S.build_network_spec(parse_cfg_text(cfg_text))
     params = init_params(net, seed=int(g["seed"]))
+    bias_seed = int(g["bias_seed"]) if "bias_seed" in g else -1
+    if bias_seed >= 0:
+        brng = np.random.default_rng(bias_seed)
+        for p in params:
+            if p and "biases" in p:
+                p["biases"] = brng.normal(
+                    0, 0.5, np.shape(p["biases"])).astype(np.float32)
     fwd = build_forward(net)
     x = np.transpose(g["input_chw"], (1, 2, 0))[None]  # CHW -> NHWC
     out, aux = fwd(params, x, keep_all=True)
@@ -101,3 +108,31 @@ def test_detector_decode_nms_parity(tmp_path):
     # NMS suppression pattern must match exactly; values to float tol
     np.testing.assert_array_equal(probs > 0, g["probs"] > 0)
     np.testing.assert_allclose(probs, g["probs"], rtol=3e-4, atol=3e-4)
+
+
+def test_mini_local_parity():
+    """Locally-connected layer forward vs the C oracle."""
+    _run("mini_local", tol=2e-5)
+
+
+@pytest.mark.parametrize("name", ["mini_rnn", "mini_gru"])
+def test_flat_rnn_parity(name):
+    """RNN/GRU sublayer weight order + recurrence vs the C oracle.
+
+    The oracle runs network_predict with set_batch_network(1), which
+    reduces steps to a single recurrence step from zero state — exactly
+    our forward with time_steps=1 on one row.
+    """
+    import dataclasses
+    g = _load(name)
+    cfg_text = bytes(g["cfg"]).decode()
+    net = S.build_network_spec(parse_cfg_text(cfg_text))
+    # set_batch_network(1) analog: single row, steps behave as 1
+    net = S.NetworkSpec(
+        net=dataclasses.replace(net.net, batch=1, time_steps=1),
+        layers=net.layers, cfg_path=None)
+    params = init_params(net, seed=int(g["seed"]))
+    fwd = build_forward(net)
+    out, _ = fwd(params, g["input_flat"][None])
+    np.testing.assert_allclose(np.asarray(out)[0], g["output"],
+                               rtol=2e-5, atol=2e-5)

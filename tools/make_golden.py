@@ -257,9 +257,15 @@ REAL_CFGS = {
 
 
 def gen_case(name: str, cfg_text: str, oracle: str, seed: int = 0,
-             dump_layers: bool = False):
+             dump_layers: bool = False, randomize_biases: bool = False):
     net = S.build_network_spec(parse_cfg_text(cfg_text))
     params = init_params(net, seed=seed)
+    if randomize_biases:
+        brng = np.random.default_rng(seed + 9000)
+        for p in params:
+            if p and "biases" in p:
+                p["biases"] = brng.normal(
+                    0, 0.5, np.shape(p["biases"])).astype(np.float32)
     rng = np.random.default_rng(seed + 1000)
     x_chw = rng.uniform(0, 1, (net.net.c, net.net.h, net.net.w)
                         ).astype(np.float32)
@@ -291,6 +297,7 @@ def gen_case(name: str, cfg_text: str, oracle: str, seed: int = 0,
         GOLDEN / f"{name}.npz",
         cfg=np.frombuffer(cfg_text.encode(), dtype=np.uint8),
         seed=np.int64(seed),
+        bias_seed=np.int64(seed + 9000 if randomize_biases else -1),
         input_chw=x_chw,
         output=out,
         **layer_outs,
@@ -705,3 +712,124 @@ def gen_detect_case(name: str, cfg_path: str, oracle_detect: str,
         nms=np.float32(nms), input_chw=x_chw, boxes=boxes, probs=probs)
     nonzero = (probs > 0).sum()
     print(f"{name}: {n} boxes, {nonzero} surviving probs")
+
+
+MINI_LOCAL = """
+[net]
+batch=1
+height=12
+width=12
+channels=3
+
+[convolutional]
+filters=6
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[local]
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[avgpool]
+"""
+
+MINI_DECONV = """
+[net]
+batch=1
+height=8
+width=8
+channels=3
+
+[convolutional]
+filters=4
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[deconvolutional]
+filters=3
+size=4
+stride=2
+activation=logistic
+"""
+
+MINI_RNN = """
+[net]
+batch=4
+time_steps=4
+subdivisions=1
+inputs=16
+
+[rnn]
+batch_normalize=0
+output=12
+hidden=12
+activation=leaky
+
+[rnn]
+batch_normalize=0
+output=12
+hidden=12
+activation=leaky
+
+[connected]
+output=16
+activation=leaky
+
+[softmax]
+"""
+
+MINI_GRU = """
+[net]
+batch=4
+time_steps=4
+subdivisions=1
+inputs=16
+
+[gru]
+batch_normalize=0
+output=12
+
+[connected]
+output=16
+activation=linear
+"""
+
+
+def gen_flat_case(name: str, cfg_text: str, oracle: str, seed: int = 0):
+    """Golden for flat-input nets (rnn/gru): input (inputs,) per item;
+    the oracle runs batch = net.batch rows at once via set_batch?
+    network_predict uses batch 1 — for time_steps nets set_batch_network
+    (1) collapses steps; instead we keep batch as parsed and call the
+    train-free forward through the oracle's predict on a single row
+    repeated... Simplest: batch=net.batch rows of deterministic data and
+    a custom driver is overkill — network_predict(net, X) with
+    set_batch(1) gives steps=1 semantics, which still exercises the
+    sublayer weights order. We write inputs for ONE row.
+    """
+    net = S.build_network_spec(parse_cfg_text(cfg_text))
+    params = init_params(net, seed=seed)
+    rng = np.random.default_rng(seed + 7000)
+    x = rng.uniform(-1, 1, net.net.inputs).astype(np.float32)
+    with tempfile.TemporaryDirectory() as td:
+        td = pathlib.Path(td)
+        save_weights(net, params, str(td / "w.weights"))
+        (td / "net.cfg").write_text(cfg_text)
+        (td / "in.bin").write_bytes(x.tobytes())
+        subprocess.run(
+            [oracle, str(td / "net.cfg"), str(td / "w.weights"),
+             str(td / "in.bin"), str(td / "out.bin")],
+            check=True, capture_output=True)
+        out = np.frombuffer((td / "out.bin").read_bytes(), dtype="<f4").copy()
+    np.savez_compressed(
+        GOLDEN / name,
+        cfg=np.frombuffer(cfg_text.encode(), dtype=np.uint8),
+        seed=np.int64(seed), input_flat=x, output=out)
+    print(f"{name}: out[{out.shape[0]}] range "
+          f"[{out.min():.4f}, {out.max():.4f}]")
