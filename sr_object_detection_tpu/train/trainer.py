@@ -57,7 +57,7 @@ def _find_head(spec: S.NetworkSpec):
 
 
 def make_train_step(spec: S.NetworkSpec, *, mesh=None,
-                    compute_dtype=None):
+                    compute_dtype=None, remat: bool = False):
     """Returns train_step(state, x, truth, rng) -> (state, metrics).
 
     x: (B, H, W, C) float32 where B = net.batch * net.subdivisions
@@ -89,9 +89,20 @@ def make_train_step(spec: S.NetworkSpec, *, mesh=None,
     micro = net.batch
     subdivs = net.subdivisions
 
+    def _fwd_for_loss(params, x, truth, rng):
+        return fwd(params, x, train=True, rng=rng, truth=truth,
+                   keep_all=True)
+
+    if remat:
+        # rematerialize activations in the backward pass (the analog of
+        # the reference's nothing: it simply OOMs) — trades ~30% step
+        # time for training resolutions/batches that exceed HBM
+        _fwd_for_loss = jax.checkpoint(
+            _fwd_for_loss,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+
     def micro_loss(params, x, truth, seen, rng):
-        out, aux = fwd(params, x, train=True, rng=rng, truth=truth,
-                       keep_all=True)
+        out, aux = _fwd_for_loss(params, x, truth, rng)
         if head_kind == "region":
             raw = aux["outputs"][head_idx - 1]
             raw = raw.reshape(raw.shape[0], -1)
@@ -169,7 +180,7 @@ class Trainer:
     (src_yolo2/detector.c:25-168, classifier.c:38-150)."""
 
     def __init__(self, spec: S.NetworkSpec, params=None, *, mesh=None,
-                 seed: int = 0, compute_dtype=None):
+                 seed: int = 0, compute_dtype=None, remat: bool = False):
         self.spec = spec
         self.mesh = mesh
         if params is None:
@@ -184,9 +195,11 @@ class Trainer:
                              else jnp.int32),
         )
         self._compute_dtype = compute_dtype
+        self._remat = remat
         self._steps: dict[tuple[int, int], Any] = {}
         self._steps[(spec.net.h, spec.net.w)] = self._jit(
-            make_train_step(spec, mesh=mesh, compute_dtype=compute_dtype))
+            make_train_step(spec, mesh=mesh, compute_dtype=compute_dtype,
+                            remat=remat))
         self._rng = jax.random.PRNGKey(seed)
 
     def _jit(self, step):
@@ -204,7 +217,8 @@ class Trainer:
         if key not in self._steps:
             rspec = self.spec.resize(w, h)
             self._steps[key] = self._jit(make_train_step(
-                rspec, mesh=self.mesh, compute_dtype=self._compute_dtype))
+                rspec, mesh=self.mesh, compute_dtype=self._compute_dtype,
+                remat=self._remat))
         return self._steps[key]
 
     def step(self, x, truth):

@@ -191,3 +191,31 @@ def test_raw_rgbd_roundtrip(tmp_path):
     g = rd.next()
     np.testing.assert_array_equal(g.color, f.color)
     np.testing.assert_array_equal(g.depth, f.depth)
+
+
+def test_pipeline_with_real_detector(tmp_path):
+    """Full robot loop with an actual jitted Detector (untrained tiny
+    net) over synthetic RGB-D — exercises the production wiring end to
+    end (Detector -> filters -> localization -> memory -> sinks)."""
+    from sr_object_detection_tpu.models.zoo import CfgBuilder
+    from sr_object_detection_tpu.infer.detector import Detector
+    from sr_object_detection_tpu.robot.pipeline import RobotPerception
+
+    b = CfgBuilder()
+    b.net(batch=1, width=96, height=96, channels=3)
+    b.conv(8, size=3, stride=2)
+    b.conv(16, size=3, stride=2)
+    b.conv(12, size=1, bn=False, act="linear", pad=1)
+    b.section("region", anchors=(1.0, 1.0, 3.0, 3.0), classes=1, coords=4,
+              num=2, softmax=1, thresh=.6)
+    cfg = tmp_path / "tiny.cfg"
+    cfg.write_text(b.text())
+    det = Detector(str(cfg), None, names=["thing"])
+    pipe = RobotPerception(det, names=["thing"], thresh=0.01, nms=0.1,
+                           detect_every=2)
+    src = SyntheticRGBDSource(n_frames=4)
+    results = pipe.run(src)
+    assert len(results) == 4
+    # untrained net: pipeline must still run, sentences well-formed
+    for r in results:
+        assert r["sentence"].startswith("i can")

@@ -833,3 +833,22 @@ def gen_flat_case(name: str, cfg_text: str, oracle: str, seed: int = 0):
         seed=np.int64(seed), input_flat=x, output=out)
     print(f"{name}: out[{out.shape[0]}] range "
           f"[{out.min():.4f}, {out.max():.4f}]")
+
+
+MINI_CRNN = """
+[net]
+batch=1
+time_steps=1
+subdivisions=1
+height=8
+width=8
+channels=3
+
+[crnn]
+batch_normalize=0
+output_filters=6
+hidden_filters=5
+activation=leaky
+
+[avgpool]
+"""
