@@ -179,6 +179,7 @@ class ConvSpec(LayerSpec):
     binary: bool = False
     xnor: bool = False
     flipped: bool = False
+    adam: bool = False     # net-level adam flag (parser.c:161: layer.adam)
 
 
 @dataclass(frozen=True)
@@ -490,6 +491,7 @@ def _infer(net: NetSpec,
                 binary=bool(s.find_int("binary", 0)),
                 xnor=bool(s.find_int("xnor", 0)),
                 flipped=bool(s.find_int("flipped", 0)),
+                adam=net.adam,
                 out_h=out_h, out_w=out_w, out_c=filters,
                 outputs=out_h * out_w * filters,
             )

@@ -58,7 +58,7 @@ def _conv_to_darknet(w_hwio: np.ndarray) -> np.ndarray:
 def _load_conv(r: WeightsReader, spec: S.ConvSpec | S.CRNNSpec,
                *, filters: int, c: int, size: int,
                batch_normalize: bool, dontloadscales: bool,
-               flipped: bool) -> dict:
+               flipped: bool, adam: bool = False) -> dict:
     p: dict = {}
     p["biases"] = r.floats(filters)
     if batch_normalize and not dontloadscales:
@@ -75,6 +75,11 @@ def _load_conv(r: WeightsReader, spec: S.ConvSpec | S.CRNNSpec,
         w = w.reshape(c * size * size, filters).T.ravel().copy()
     w4 = w.reshape(filters, c, size, size)
     p["weights"] = np.transpose(w4, (2, 3, 1, 0)).copy()
+    if adam:
+        # parser.c:1001-1004: adam first/second moments follow weights
+        num = filters * c * size * size
+        p["adam_m"] = r.floats(num)
+        p["adam_v"] = r.floats(num)
     return p
 
 
@@ -125,7 +130,8 @@ def load_weights(net: S.NetworkSpec, path: str, cutoff: int | None = None):
                 params[i] = _load_conv(
                     r, l, filters=l.filters, c=l.c, size=l.size,
                     batch_normalize=l.batch_normalize,
-                    dontloadscales=l.dontloadscales, flipped=l.flipped)
+                    dontloadscales=l.dontloadscales, flipped=l.flipped,
+                    adam=getattr(l, "adam", False))
             elif isinstance(l, S.ConnectedSpec):
                 params[i] = _load_connected(
                     r, outputs=l.output, inputs=l.inputs,
@@ -214,6 +220,9 @@ def _save_conv(out: list[np.ndarray], p: dict, batch_normalize: bool):
         out.append(np.asarray(p["rolling_mean"], np.float32))
         out.append(np.asarray(p["rolling_variance"], np.float32))
     out.append(_conv_to_darknet(p["weights"]))
+    if "adam_m" in p:
+        out.append(np.asarray(p["adam_m"], np.float32))
+        out.append(np.asarray(p["adam_v"], np.float32))
 
 
 def _save_connected(out: list[np.ndarray], p: dict, batch_normalize: bool):

@@ -133,3 +133,27 @@ def learning_rate_py(net: NetSpec, batch_num: int) -> float:
 
 __all__ = ["init_velocity", "sgd_update", "learning_rate",
            "learning_rate_py"]
+
+
+def adam_update(w, g, m, v, *, lr, batch_size: int, b1: float = 0.9,
+                b2: float = 0.999, eps: float = 1e-6, decay: float = 0.0,
+                t: int = 1):
+    """Darknet Adam for conv weights (update_convolutional_layer_gpu,
+    convolutional_kernels.cu:260-272 + adam_kernel, blas_kernels.cu:143):
+
+        wu = -(g + decay*batch*w)                (weight_updates)
+        m  = B1*m + (1-B1)*(g + decay*batch*w)
+        v  = B2*v + (1-B2)*wu^2
+        w  = w - lr/batch * sqrt(1-B2^t)/(1-B1^t) * m/(sqrt(v)+eps)
+
+    ``g`` is +dL/dw summed over the batch; ``t`` is the 1-based update
+    counter (layer.t+1). No shipped cfg enables adam, so the Trainer
+    stays on the SGD path; this function plus the adam_m/adam_v
+    checkpoint arrays (io/weights.py) complete the capability.
+    """
+    gd = g + decay * batch_size * w
+    new_m = b1 * m + (1.0 - b1) * gd
+    new_v = b2 * v + (1.0 - b2) * jnp.square(gd)
+    rate = (lr / batch_size) * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+    new_w = w - rate * new_m / (jnp.sqrt(new_v) + eps)
+    return new_w, new_m, new_v

@@ -257,3 +257,60 @@ def test_char_rnn_training_reduces_loss(tmp_path):
         m = tr.step(x, y)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]
+
+
+def test_adam_update_semantics():
+    """Darknet adam (convolutional_kernels.cu:260-272): first step with
+    zero moments reduces to w - rate*(1-B1)*g_hat/(sqrt((1-B2)g^2)+eps)
+    with bias correction."""
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.train.sgd import adam_update
+    w = jnp.ones(4)
+    g = jnp.asarray([1.0, -2.0, 0.5, 0.0])
+    m = jnp.zeros(4)
+    v = jnp.zeros(4)
+    lr, batch, b1, b2, eps = 0.01, 2, 0.9, 0.999, 1e-6
+    nw, nm, nv = adam_update(w, g, m, v, lr=lr, batch_size=batch,
+                             b1=b1, b2=b2, eps=eps, decay=0.0, t=1)
+    gd = np.asarray(g)
+    exp_m = (1 - b1) * gd
+    exp_v = (1 - b2) * gd ** 2
+    rate = lr / batch * np.sqrt(1 - b2) / (1 - b1)
+    exp_w = np.asarray(w) - rate * exp_m / (np.sqrt(exp_v) + eps)
+    np.testing.assert_allclose(np.asarray(nm), exp_m, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(nv), exp_v, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(nw), exp_w, rtol=1e-6)
+
+
+def test_adam_weights_roundtrip(tmp_path):
+    """adam=1 checkpoints carry m/v arrays (parser.c:787-791)."""
+    from sr_object_detection_tpu.config import parse_cfg_text
+    from sr_object_detection_tpu.graph import spec as S
+    cfg = """
+[net]
+batch=1
+height=8
+width=8
+channels=3
+adam=1
+
+[convolutional]
+filters=4
+size=3
+stride=1
+pad=1
+activation=leaky
+"""
+    net = S.build_network_spec(parse_cfg_text(cfg))
+    assert net.layers[0].adam
+    params = init_params(net, seed=0)
+    rng = np.random.default_rng(0)
+    num = 4 * 3 * 3 * 3
+    params[0]["adam_m"] = rng.normal(0, 1, num).astype(np.float32)
+    params[0]["adam_v"] = rng.uniform(0, 1, num).astype(np.float32)
+    p = str(tmp_path / "adam.weights")
+    save_weights(net, params, p, seen=7)
+    loaded, seen = load_weights(net, p)
+    np.testing.assert_allclose(loaded[0]["adam_m"], params[0]["adam_m"])
+    np.testing.assert_allclose(loaded[0]["adam_v"], params[0]["adam_v"])
+    np.testing.assert_allclose(loaded[0]["weights"], params[0]["weights"])
