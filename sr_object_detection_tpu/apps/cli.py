@@ -58,6 +58,7 @@ def _load_net(cfg, weights):
 
 def cmd_detect(argv):
     thresh = find_value(argv, "-thresh", 0.24, float)
+    out_path = find_value(argv, "-out", None)
     cfg, weights, image = argv[0], argv[1], argv[2]
     from ..infer.detector import Detector
     from ..ops.image import load_image_rgb
@@ -67,12 +68,20 @@ def cmd_detect(argv):
         from ..config import read_names
         names = read_names(names_file)
     det = Detector(cfg, weights, names=names)
+    img = load_image_rgb(image)
     t0 = time.time()
-    dets = det.detect(load_image_rgb(image), thresh=thresh)
+    dets = det.detect(img, thresh=thresh)
     print(f"{image}: Predicted in {time.time()-t0:.6f} seconds.")
     for d in dets:
         label = d.name or str(d.class_id)
         print(f"{label}: {100*d.prob:.0f}%  box={d.box}")
+    if out_path:
+        # draw_detections + save_image analog (image.c:741,1397)
+        from ..ops.draw import draw_detections
+        from .nightmare_app import _save_ppm
+        _save_ppm(out_path, draw_detections(
+            img, dets, classes=det.region.classes))
+        print(f"wrote {out_path}")
     return dets
 
 

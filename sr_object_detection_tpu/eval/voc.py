@@ -202,3 +202,21 @@ def proposal_recall(all_boxes: Sequence[np.ndarray],
 
 __all__ = ["voc_ap", "eval_class", "mean_ap", "voc_det_lines",
            "coco_det_records", "proposal_recall", "ClassEval"]
+
+
+def imagenet_det_lines(image_index: int, boxes: np.ndarray,
+                       probs: np.ndarray, img_w: int, img_h: int):
+    """ImageNet-det format lines: 'idx cls+1 conf x1 y1 x2 y2'
+    (print_imagenet_detections, detector.c:222-242)."""
+    out = []
+    for i in range(len(boxes)):
+        x, y, w, h = boxes[i]
+        xmin = max(x * img_w - w * img_w / 2.0 + 1, 1.0)
+        ymin = max(y * img_h - h * img_h / 2.0 + 1, 1.0)
+        xmax = min(x * img_w + w * img_w / 2.0 + 1, float(img_w))
+        ymax = min(y * img_h + h * img_h / 2.0 + 1, float(img_h))
+        for j in range(probs.shape[1]):
+            if probs[i, j] > 0:
+                out.append(f"{image_index} {j + 1} {probs[i, j]:f} "
+                           f"{xmin:f} {ymin:f} {xmax:f} {ymax:f}")
+    return out
