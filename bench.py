@@ -7,10 +7,18 @@ Extra context lines go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# persistent compilation cache: first run pays the (remote) compile,
+# later runs start in seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import jax.numpy as jnp
 import numpy as np
 
