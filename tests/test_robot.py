@@ -219,3 +219,34 @@ def test_pipeline_with_real_detector(tmp_path):
     # untrained net: pipeline must still run, sentences well-formed
     for r in results:
         assert r["sentence"].startswith("i can")
+
+
+def test_registration_identity_cameras():
+    """Aligned same-resolution cameras: color px == depth px."""
+    from sr_object_detection_tpu.robot.registration import (
+        CameraModel, Registration)
+    cam = CameraModel(100.0, 100.0, 64.0, 64.0, 128, 128)
+    reg = Registration(color=cam, depth=cam)
+    depth = np.full((128, 128), 1000, np.uint16)
+    px = np.array([[30.0, 40.0], [90.0, 100.0]], np.float32)
+    out = reg.color_px_to_depth_px(px, depth)
+    np.testing.assert_allclose(out, px, atol=0.5)
+    box = reg.color_box_to_depth((0.5, 0.5, 0.2, 0.2), depth)
+    np.testing.assert_allclose(box, (0.5, 0.5, 0.2, 0.2), atol=0.02)
+
+
+def test_registration_baseline_shift():
+    """A horizontal baseline shifts the projection by fx*t/z."""
+    from sr_object_detection_tpu.robot.registration import (
+        CameraModel, Registration)
+    cam = CameraModel(100.0, 100.0, 64.0, 64.0, 128, 128)
+    t = np.array([-0.05, 0.0, 0.0], np.float32)
+    reg = Registration(color=cam, depth=cam, t_depth_to_color=t)
+    depth = np.full((128, 128), 2000, np.uint16)   # 2m
+    dpx = np.array([[64.0, 64.0]], np.float32)
+    cpx = reg.depth_px_to_color_px(dpx, np.array([2.0], np.float32))
+    # disparity = fx * |t| / z = 100*0.05/2 = 2.5 px
+    assert abs(cpx[0, 0] - (64.0 - 2.5)) < 0.1
+    # inverse recovers the depth pixel
+    back = reg.color_px_to_depth_px(cpx, depth)
+    np.testing.assert_allclose(back, dpx, atol=0.5)
