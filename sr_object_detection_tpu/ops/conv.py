@@ -135,6 +135,19 @@ def _bn_core_bwd(res, g):
 _bn_core.defvjp(_bn_core_fwd, _bn_core_bwd)
 
 
+def binarize_weights(w_hwio):
+    """XNOR-net weight binarization (convolutional_layer.c:37-49):
+    per-filter sign(w) * mean(|w|)."""
+    mean = jnp.mean(jnp.abs(w_hwio), axis=(0, 1, 2), keepdims=True)
+    return jnp.where(w_hwio > 0, mean, -mean)
+
+
+def binarize_input(x):
+    """binarize_cpu (convolutional_layer.c:52-58): sign in {+1,-1}
+    (zero maps to -1)."""
+    return jnp.where(x > 0, 1.0, -1.0).astype(x.dtype)
+
+
 def conv_block(x, params, spec, activation_fn, *, train: bool = False,
                compute_dtype=None):
     """Full darknet conv layer: conv [+BN] +bias +activation.
@@ -146,7 +159,13 @@ def conv_block(x, params, spec, activation_fn, *, train: bool = False,
     bn_updates = {'rolling_mean': ..., 'rolling_variance': ...};
     otherwise returns y alone.
     """
-    y = conv2d(x, params["weights"], stride=spec.stride, pad=spec.pad,
+    w = params["weights"]
+    if getattr(spec, "xnor", False) and not train:
+        # XNOR inference path (forward_convolutional_layer:443-448):
+        # binarized weights AND sign-binarized input
+        w = binarize_weights(w)
+        x = binarize_input(x)
+    y = conv2d(x, w, stride=spec.stride, pad=spec.pad,
                compute_dtype=compute_dtype)
     bn_updates = None
     if spec.batch_normalize:
@@ -214,5 +233,6 @@ def fold_batchnorm(params):
 
 __all__ = [
     "conv2d", "conv_block", "connected",
+    "binarize_weights", "binarize_input",
     "batchnorm_inference", "batchnorm_train", "fold_batchnorm", "BN_EPS",
 ]

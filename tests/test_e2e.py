@@ -60,6 +60,43 @@ def test_detector_training_learns_synthetic_boxes():
     assert final_iou > 0.45, final_iou
     assert float(m["recall"]) > 0.5
 
+    # ---- end-to-end evaluation: decode + NMS + VOC mAP on held-out
+    # synthetic images (the full detector valid loop in miniature) ----
+    from sr_object_detection_tpu.graph.compiler import build_forward
+    from sr_object_detection_tpu.ops import boxes as B
+    from sr_object_detection_tpu.eval.voc import mean_ap
+    fwd = build_forward(spec)
+    params = trainer.state.params
+    region = spec.layers[-1]
+    anchors = np.asarray(region.anchors).reshape(region.n, 2)
+
+    eval_rng = np.random.default_rng(999)
+    dets, gts = [], {}
+    for img_id in range(12):
+        x, t = _toy_batch(eval_rng, 1)
+        out = jax.jit(lambda p, v: fwd(p, v)[0])(params, x)
+        acts = np.asarray(out).reshape(1, region.h, region.w, region.n,
+                                       region.classes + 5)
+        boxes = np.asarray(B.decode_region_boxes(
+            jnp.asarray(acts), anchors, img_w=1.0, img_h=1.0)
+        ).reshape(-1, 4)
+        probs = (acts[..., 4:5] * acts[..., 5:]).reshape(-1, 1)
+        probs = np.where(probs > 0.2, probs, 0.0)
+        probs = np.asarray(B.nms_sort_topk(
+            jnp.asarray(boxes), jnp.asarray(probs), 0.45))
+        key = f"im{img_id}"
+        for i in np.nonzero(probs[:, 0] > 0)[0]:
+            x0 = (boxes[i, 0] - boxes[i, 2] / 2) * 48
+            y0 = (boxes[i, 1] - boxes[i, 3] / 2) * 48
+            x1 = (boxes[i, 0] + boxes[i, 2] / 2) * 48
+            y1 = (boxes[i, 1] + boxes[i, 3] / 2) * 48
+            dets.append((key, float(probs[i, 0]), x0, y0, x1, y1))
+        gx, gy, gw, gh = t[0, 0, :4]
+        gts[key] = {"boxes": [[(gx - gw / 2) * 48, (gy - gh / 2) * 48,
+                               (gx + gw / 2) * 48, (gy + gh / 2) * 48]]}
+    m_ap, _ = mean_ap({"thing": dets}, {"thing": gts})
+    assert m_ap > 0.5, f"synthetic mAP too low: {m_ap}"
+
 
 @pytest.mark.skipif(not os.path.exists("/root/reference/cfg/9k.tree"),
                     reason="9k tree asset unavailable")
@@ -108,3 +145,33 @@ def test_draw_detections():
     assert (out != im).any()
     c = class_color(3, 20)
     assert c.shape == (3,) and (c >= 0).all() and (c <= 1).all()
+
+
+def test_resume_continuity(tmp_path):
+    """Checkpoint/resume restores params, momentum AND the LR-schedule
+    position (the reference loses velocity on restart; we keep it)."""
+    from sr_object_detection_tpu.io import checkpoint as ckpt
+    rng = np.random.default_rng(3)
+    spec = _toy_det_spec()
+
+    t1 = Trainer(spec, seed=0)
+    batches = [_toy_batch(rng, 8) for _ in range(6)]
+    for x, t in batches[:3]:
+        t1.step(x, t)
+    p = str(tmp_path / "state.npz")
+    ckpt.save_train_state(p, t1.state)
+    for x, t in batches[3:]:
+        m_ref = t1.step(x, t)
+
+    t2 = Trainer(spec, seed=0)
+    t2.state = ckpt.load_train_state(p, t2.state)
+    assert int(t2.state.seen) == 3 * 8
+    for x, t in batches[3:]:
+        m_res = t2.step(x, t)
+    np.testing.assert_allclose(float(m_res["loss"]), float(m_ref["loss"]),
+                               rtol=1e-4)
+    a = jax.tree.map(np.asarray, t1.state.params)
+    b = jax.tree.map(np.asarray, t2.state.params)
+    for pa, pb in zip(a, b):
+        for k in pa:
+            np.testing.assert_allclose(pa[k], pb[k], rtol=1e-5, atol=1e-6)

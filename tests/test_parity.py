@@ -136,3 +136,8 @@ def test_flat_rnn_parity(name):
     out, _ = fwd(params, g["input_flat"][None])
     np.testing.assert_allclose(np.asarray(out)[0], g["output"],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_mini_xnor_parity():
+    """XNOR conv inference (binarized weights + sign input) vs oracle."""
+    _run("mini_xnor", tol=2e-5)

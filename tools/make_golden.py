@@ -852,3 +852,29 @@ activation=leaky
 
 [avgpool]
 """
+
+
+MINI_XNOR = """
+[net]
+batch=1
+height=12
+width=12
+channels=3
+
+[convolutional]
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+xnor=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[avgpool]
+"""
