@@ -235,6 +235,31 @@ def cmd_writing(argv):
     return writing(argv[0], argv[1], argv[2], out_path=out)
 
 
+def cmd_dice(argv):
+    from .misc_apps import dice
+    return dice(argv[0], argv[1], argv[2])
+
+
+def cmd_voxel(argv):
+    from .misc_apps import voxel
+    out = find_value(argv, "-out", ".")
+    return voxel(argv[0], argv[1], argv[2], out_dir=out)
+
+
+def cmd_yolo(argv):
+    """yolo.c / coco.c / swag.c: v1 train (other subcommands share the
+    detector pipeline)."""
+    sub = argv.pop(0)
+    from .misc_apps import run_yolo_v1
+    if sub == "train":
+        data_cfg, cfg = argv[0], argv[1]
+        weights = argv[2] if len(argv) > 2 and not argv[2].startswith("-") \
+            else None
+        return run_yolo_v1(data_cfg, cfg, weights, argv[3:])
+    raise SystemExit("yolo: only 'train' implemented; use 'detect'/"
+                     "'detector' for inference paths")
+
+
 def cmd_robot(argv):
     from .robot_app import run_robot
     return run_robot(argv)
@@ -271,6 +296,11 @@ COMMANDS = {
     "super": cmd_super,
     "go": cmd_go,
     "robot": cmd_robot,
+    "dice": cmd_dice,
+    "voxel": cmd_voxel,
+    "yolo": cmd_yolo,
+    "coco": cmd_yolo,
+    "swag": cmd_yolo,
     "art": cmd_art,
     "captcha": cmd_captcha,
     "tag": cmd_tag,

@@ -167,3 +167,111 @@ def fill_truth_region_np(labels: np.ndarray, side: int, classes: int
 __all__ = ["art", "captcha", "tag", "compare", "writing",
            "decode_detection_boxes", "fill_truth_region_np",
            "VOC_NAMES", "NUMCHARS"]
+
+
+DICE_LABELS = ["one", "two", "three", "four", "five", "six"]
+
+
+def dice(cfg: str, weights: str, image_path: str):
+    """dice.c: classify a die face (six labels, dice_label.sh dataset)."""
+    from ..infer.classifier import Classifier
+    clf = Classifier(cfg, weights, names=DICE_LABELS)
+    top = clf.predict_topk(load_image_rgb(image_path), k=1)[0]
+    print(f"{top[2]}: {top[1]:.4f}")
+    return top
+
+
+def voxel(cfg: str, weights: str, frame_glob: str, out_dir: str = "."):
+    """voxel.c: video super-resolution — upscale every frame of a
+    sequence with the super-resolution net."""
+    import os
+    from .super_app import super_resolve
+    from .nightmare_app import _save_ppm
+    import glob as _glob
+    frames = sorted(_glob.glob(frame_glob))
+    outs = []
+    for i, f in enumerate(frames):
+        up = super_resolve(cfg, weights, f)
+        out = os.path.join(out_dir, f"voxel_{i:05d}.ppm")
+        _save_ppm(out, up)
+        outs.append(out)
+    print(f"upscaled {len(outs)} frames")
+    return outs
+
+
+class VideoRNN:
+    """rnn_vid.c analog: conv features per frame feed an RNN that
+    predicts the next frame's feature vector (generative video model).
+    The conv trunk is any classifier cfg truncated at `feature_layer`."""
+
+    def __init__(self, cfg: str, weights=None, feature_layer: int = -3,
+                 hidden: int = 256, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+        from ..io.weights import init_params
+        self.spec = parse_network_cfg(cfg)
+        if weights:
+            params, _ = load_weights(self.spec, weights)
+        else:
+            params = init_params(self.spec, seed=seed)
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.fwd = build_forward(self.spec)
+        n_layers = len(self.spec.layers)
+        self.feat_idx = feature_layer % n_layers
+        self._features = jax.jit(self._features_impl)
+
+    def _features_impl(self, params, x):
+        _, aux = self.fwd(params, x, keep_all=True)
+        f = aux["outputs"][self.feat_idx]
+        return f.reshape(f.shape[0], -1)
+
+    def features(self, frames_nhwc):
+        return np.asarray(self._features(self.params, frames_nhwc))
+
+
+def run_yolo_v1(data_cfg: str, cfg: str, weights, argv, classes=20):
+    """yolo.c / coco.c / swag.c train path: YOLOv1 grid-truth training
+    over the shared Trainer (detection_loss is oracle-pinned)."""
+    from ..config import read_data_cfg
+    from ..data.loader import DetectionLoader
+    from ..train.trainer import Trainer
+    from ..graph.spec import parse_network_cfg, DetectionSpec
+    from ..io.weights import load_weights
+    from ..io import checkpoint as ckpt
+    import os
+
+    options = read_data_cfg(data_cfg)
+    train_list = options.get("train", "data/train.list")
+    backup_dir = options.get("backup", "backup")
+    os.makedirs(backup_dir, exist_ok=True)
+    spec = parse_network_cfg(cfg)
+    det = spec.layers[-1]
+    assert isinstance(det, DetectionSpec)
+    params = None
+    if weights:
+        params, _ = load_weights(spec, weights)
+    trainer = Trainer(spec, params=params)
+    outer = trainer.outer_batch
+    loader = DetectionLoader(train_list, w=spec.net.w, h=spec.net.h,
+                             batch=outer, classes=det.classes,
+                             jitter=det.jitter)
+    base = os.path.splitext(os.path.basename(cfg))[0]
+    max_batches = spec.net.max_batches or 10000
+    while True:
+        i = int(trainer.state.seen) // outer + 1
+        if i > max_batches:
+            break
+        x, boxes_truth = loader.next_batch()
+        # repack box truths into the v1 grid layout
+        grid = np.stack([
+            fill_truth_region_np(
+                boxes_truth[b][boxes_truth[b, :, 2] > 0][:, [4, 0, 1, 2, 3]],
+                det.side, det.classes)
+            for b in range(outer)])
+        m = trainer.step(x, grid)
+        print(f"{i}: {float(m['loss'])/outer:.6f}")
+        if ckpt.should_checkpoint(i):
+            ckpt.export_weights(
+                ckpt.checkpoint_name(backup_dir, base, i), spec,
+                trainer.state)
+    return trainer

@@ -61,3 +61,61 @@ def test_periodic_weight_average_matches_reference_semantics():
     avg = periodic_weight_average([a, b])
     np.testing.assert_allclose(np.asarray(avg[0]["weights"]), 2.0)
     np.testing.assert_allclose(np.asarray(avg[0]["biases"]), 1.0)
+
+
+def test_video_rnn_features(tmp_path):
+    """rnn_vid analog: per-frame conv features for the video RNN."""
+    from sr_object_detection_tpu.apps.misc_apps import VideoRNN
+    from sr_object_detection_tpu.models.zoo import CfgBuilder
+    import os
+    b = CfgBuilder()
+    b.net(batch=1, width=32, height=32, channels=3)
+    b.conv(8, size=3, stride=2)
+    b.conv(16, size=3, stride=2)
+    b.section("avgpool")
+    cfg = os.path.join(tmp_path, "v.cfg")
+    with open(cfg, "w") as f:
+        f.write(b.text())
+    vr = VideoRNN(cfg, feature_layer=1)
+    frames = np.random.default_rng(0).random((3, 32, 32, 3)).astype(
+        np.float32)
+    feats = vr.features(frames)
+    assert feats.shape == (3, 8 * 8 * 16)
+    assert np.isfinite(feats).all()
+
+
+def test_yolo_v1_training_loop(tmp_path):
+    """swag/yolo/coco v1 train path: grid truth + detection loss."""
+    import os
+    from sr_object_detection_tpu.apps.misc_apps import run_yolo_v1
+    from sr_object_detection_tpu.models.zoo import CfgBuilder
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    img_dir.mkdir(); lbl_dir.mkdir()
+    paths = []
+    for i in range(4):
+        arr = rng.random((32, 32, 3)).astype(np.float32)
+        p = img_dir / f"f{i}.ppm"
+        h, w, _ = arr.shape
+        with open(p, "wb") as f:
+            f.write(b"P6\n%d %d\n255\n" % (w, h))
+            f.write((arr * 255).astype(np.uint8).tobytes())
+        (lbl_dir / f"f{i}.txt").write_text("1 0.5 0.5 0.4 0.4\n")
+        paths.append(str(p))
+    (tmp_path / "train.list").write_text("\n".join(paths))
+    (tmp_path / "v1.data").write_text(
+        f"train={tmp_path}/train.list\nbackup={tmp_path}/backup\n")
+    b = CfgBuilder()
+    b.net(batch=2, width=32, height=32, channels=3, learning_rate=0.001,
+          max_batches=3, policy="constant")
+    b.conv(8, size=3, stride=2)
+    b.conv(16, size=3, stride=4)
+    b.section("connected", output=3 * 3 * (2 * 5 + 3), activation="linear")
+    b.section("detection", classes=3, coords=4, side=3, num=2, softmax=1,
+              sqrt=1, rescore=1, coord_scale=5, noobject_scale=.5)
+    cfg = tmp_path / "v1.cfg"
+    cfg.write_text(b.text())
+    trainer = run_yolo_v1(str(tmp_path / "v1.data"), str(cfg), None, [],
+                          classes=3)
+    assert int(trainer.state.seen) == 3 * 2
