@@ -175,3 +175,24 @@ def test_resume_continuity(tmp_path):
     for pa, pb in zip(a, b):
         for k in pa:
             np.testing.assert_allclose(pa[k], pb[k], rtol=1e-5, atol=1e-6)
+
+
+def test_multiscale_trainer_buckets():
+    """random=1 multi-scale: the trainer compiles one step per
+    resolution bucket and shares state across them (detector.c:91-109 +
+    resize_network analog)."""
+    spec = _toy_det_spec()
+    trainer = Trainer(spec, seed=0)
+    rng = np.random.default_rng(0)
+    x48, t48 = _toy_batch(rng, 8)
+    m1 = trainer.step(x48, t48)
+    # a different resolution: rebuild batch at 64px
+    x64 = np.zeros((8, 64, 64, 3), np.float32)
+    for i in range(8):
+        x64[i, 16:48, 16:48] = x48[i][:32, :32]
+    m2 = trainer.step(x64, t48)
+    assert np.isfinite(float(m2["loss"]))
+    # back to 48: cached step, seen keeps increasing
+    m3 = trainer.step(x48, t48)
+    assert int(trainer.state.seen) == 24
+    assert len(trainer._steps) == 2
