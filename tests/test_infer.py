@@ -108,3 +108,29 @@ def test_fuse_conv_pool_exactness():
     got, _ = build_forward(ospec)(oparams, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_latency_engine_frame_resize_path():
+    """Streaming frames larger than the net: on-device resize inside
+    the jitted program (the Kinect 1080p -> 416 path)."""
+    spec = zoo.tiny_yolo_voc(width=96, height=96)
+    params = init_params(spec, seed=0)
+    eng = LatencyEngine(spec, params, dtype=jnp.float32,
+                        frame_hw=(180, 240))
+    eng.warmup()
+    frame = np.random.randint(0, 255, (180, 240, 3), np.uint8)
+    boxes, probs = eng(frame)
+    assert np.isfinite(np.asarray(boxes)).all()
+
+
+def test_hierarchy_walk_semantics():
+    """get_region_boxes' deepest-confident walk (region_layer.c:356-366):
+    keep only the highest-index class with path-prob > .5."""
+    from sr_object_detection_tpu.infer.detector import _hierarchy_walk
+    p = jnp.asarray([0.9, 0.6, 0.3, 0.7, 0.2])
+    out = np.asarray(_hierarchy_walk(p))
+    # classes 0,1,3 exceed .5 -> only index 3 survives
+    assert out[3] > 0 and out[0] == 0 and out[1] == 0
+    # none above .5 -> everything zeroed
+    out2 = np.asarray(_hierarchy_walk(jnp.asarray([0.4, 0.3, 0.2])))
+    assert (out2 == 0).all()
