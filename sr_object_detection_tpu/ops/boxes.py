@@ -63,11 +63,8 @@ def grouped_softmax(logits, group_ids):
     """Segmented softmax over the last axis (softmax_tree semantics).
 
     ``group_ids``: int array (C,) mapping each class to its sibling
-    group (tree.c:53-103). WordTree groups are CONTIGUOUS runs, which
-    lets the per-group max ride a segmented associative scan and the
-    per-group sums a cumsum + boundary gather — no scatter ops, fully
-    batched over leading dims (the vmap(segment_max/sum) formulation
-    lowered to scatters and dominated yolo9000 inference: 36ms -> this).
+    group (tree.c:53-103). Ragged 9k-tree groups stay vectorized
+    instead of running 845k tiny softmaxes.
     """
     gids = np.asarray(jax.core.concrete_or_error(
         None, group_ids, "grouped_softmax group_ids must be static"))
