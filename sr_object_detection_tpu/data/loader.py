@@ -261,3 +261,28 @@ def load_cifar10_batch(path: str):
 __all__ = ["DetectionLoader", "ClassificationLoader",
            "load_detection_sample", "load_classification_sample",
            "load_cifar10_batch", "read_boxes", "label_path_for"]
+
+
+SECRET_NUM = -1234.0   # darknet's masked-truth sentinel
+
+
+def fill_hierarchy(truth: np.ndarray, tree) -> np.ndarray:
+    """Hierarchical classification truth (data.c fill_hierarchy:401-431):
+    set every ancestor of the labelled class(es) to 1, then mask every
+    sibling group containing NO positive with SECRET_NUM so the masked
+    SSE cost ignores those groups.
+
+    truth: (C,) one-hot-ish float; tree: io.tree.WordTree."""
+    t = truth.copy()
+    parent = np.asarray(tree.parent)
+    for j in np.nonzero(t > 0)[0]:
+        p = parent[j]
+        while p >= 0:
+            t[p] = 1.0
+            p = parent[p]
+    offsets = np.asarray(tree.group_offset)
+    sizes = np.asarray(tree.group_size)
+    for off, size in zip(offsets, sizes):
+        if size and not (t[off:off + size] > 0).any():
+            t[off:off + size] = SECRET_NUM
+    return t

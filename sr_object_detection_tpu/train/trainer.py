@@ -236,3 +236,19 @@ class Trainer:
 
 
 __all__ = ["Trainer", "TrainState", "make_train_step"]
+
+
+def nan_guarded(step_fn):
+    """Wrap a train step: skip the update when the loss is non-finite
+    (keeps long runs alive through rare numeric blowups — a recovery
+    behavior the reference lacks entirely, SURVEY §5.3: error() exits).
+    """
+    def guarded(state, x, truth, rng):
+        new_state, metrics = step_fn(state, x, truth, rng)
+        ok = jnp.isfinite(metrics["loss"])
+        kept = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old),
+            new_state, state)
+        metrics["skipped_nonfinite"] = ~ok
+        return kept, metrics
+    return guarded

@@ -314,3 +314,37 @@ activation=leaky
     np.testing.assert_allclose(loaded[0]["adam_m"], params[0]["adam_m"])
     np.testing.assert_allclose(loaded[0]["adam_v"], params[0]["adam_v"])
     np.testing.assert_allclose(loaded[0]["weights"], params[0]["weights"])
+
+
+def test_fill_hierarchy_masking(tmp_path):
+    """9k-classifier truth: ancestor path set, empty groups masked with
+    SECRET_NUM (data.c:401-431); the masked SSE cost then ignores them
+    (cost_layer.c:75-80)."""
+    from sr_object_detection_tpu.io.tree import read_tree
+    from sr_object_detection_tpu.data.loader import (fill_hierarchy,
+                                                     SECRET_NUM)
+    tree_file = tmp_path / "t.tree"
+    #      0  1      (roots, group 0)
+    #    2 3 (p=0)   (group 1)
+    #    4   (p=1)   (group 2)
+    #    5 6 (p=3)   (group 3)
+    tree_file.write_text(
+        "a -1\nb -1\nc 0\nd 0\ne 1\nf 3\ng 3\n")
+    tree = read_tree(str(tree_file))
+    truth = np.zeros(7, np.float32)
+    truth[5] = 1.0                     # leaf 'f'
+    t = fill_hierarchy(truth, tree)
+    assert t[5] == 1 and t[3] == 1 and t[0] == 1     # ancestor path
+    assert t[1] == 0 and t[2] == 0 and t[6] == 0     # siblings stay 0
+    assert t[4] == SECRET_NUM                         # empty group masked
+
+    # the masked cost must ignore SECRET_NUM entries
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.graph.compiler import _cost_forward
+    from sr_object_detection_tpu.graph.spec import CostSpec
+    spec = CostSpec(index=0, cost_type="masked", scale=1.0)
+    pred = jnp.asarray([[0.5] * 7])
+    cost = float(_cost_forward(pred, jnp.asarray(t)[None], spec))
+    # only non-masked entries contribute: positions 0..3,5,6
+    expected = sum((v - 0.5) ** 2 for v in [1, 0, 0, 1, 1, 0])
+    assert abs(cost - expected) < 1e-5

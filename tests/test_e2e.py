@@ -196,3 +196,21 @@ def test_multiscale_trainer_buckets():
     m3 = trainer.step(x48, t48)
     assert int(trainer.state.seen) == 24
     assert len(trainer._steps) == 2
+
+
+def test_nan_guard_skips_nonfinite_updates():
+    from sr_object_detection_tpu.train.trainer import (make_train_step,
+        TrainState, nan_guarded)
+    from sr_object_detection_tpu.train.sgd import init_velocity
+    spec = _toy_det_spec()
+    params = jax.tree.map(jnp.asarray, init_params(spec, 0))
+    state = TrainState(params, init_velocity(params), jnp.asarray(0))
+    step = jax.jit(nan_guarded(make_train_step(spec)))
+    rng = np.random.default_rng(0)
+    x, t = _toy_batch(rng, 8)
+    s1, m1 = step(state, x, t, jax.random.PRNGKey(0))
+    assert not bool(m1["skipped_nonfinite"])
+    s2, m2 = step(s1, np.full_like(x, np.nan), t, jax.random.PRNGKey(0))
+    assert bool(m2["skipped_nonfinite"])
+    np.testing.assert_allclose(np.asarray(s2.params[0]["weights"]),
+                               np.asarray(s1.params[0]["weights"]))
