@@ -49,26 +49,28 @@ def _tree_scale(a, s):
 
 
 def rescale_net(params, spec: S.NetworkSpec):
-    """rescale_weights(2, -.5) on every conv with 3x3+ kernels...
-    Reference rescale_net (darknet.c:170-186) scales conv weights by 2
-    and shifts biases by -.5*sum(weights-ish); implemented per its
-    rescale_weights: w *= 2; b -= 1? The actual op scales weights by a
-    and adjusts bias by b*sum(kernel). We implement rescale(a, b):
-    w *= a; bias += b * sum_kernel  (convolutional_layer.c
-    rescale_weights)."""
+    """rescale_net (darknet.c:170-186): rescale_weights(2, -.5) on the
+    FIRST conv layer only, so a [0,1]-trained first layer accepts
+    [-1,1]-style inputs."""
     return rescale(params, spec, 2.0, -0.5)
 
 
-def rescale(params, spec: S.NetworkSpec, a: float, b: float):
-    out = []
-    for l, p in zip(spec.layers, params):
-        if isinstance(l, S.ConvSpec) and p:
-            p = dict(p)
+def rescale(params, spec: S.NetworkSpec, a: float, trans: float):
+    """rescale_weights (convolutional_layer.c:550-561): for the first
+    conv layer's 3-channel filters, w *= a, then
+    bias += trans * sum(SCALED filter weights)."""
+    out = list(params)
+    for i, l in enumerate(spec.layers):
+        if isinstance(l, S.ConvSpec) and out[i]:
+            p = dict(out[i])
             w = np.asarray(p["weights"])           # HWIO
-            sums = w.sum(axis=(0, 1, 2))           # per out-channel
-            p["weights"] = w * a
-            p["biases"] = np.asarray(p["biases"]) * a + b * sums
-        out.append(p)
+            if w.shape[2] == 3:                    # im.c == 3 gate
+                w = w * a
+                sums = w.sum(axis=(0, 1, 2))       # per out-channel
+                p["weights"] = w
+                p["biases"] = np.asarray(p["biases"]) + trans * sums
+                out[i] = p
+            break                                  # first conv only
     return out
 
 
