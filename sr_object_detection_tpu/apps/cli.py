@@ -235,6 +235,54 @@ def cmd_writing(argv):
     return writing(argv[0], argv[1], argv[2], out_path=out)
 
 
+def cmd_oneoff(argv):
+    """oneoff (darknet.c:133-156): transfer shape-matching weights from
+    one checkpoint into another architecture."""
+    cfg_src, weights, cfg_dst, out = argv[0], argv[1], argv[2], argv[3]
+    from ..graph.spec import parse_network_cfg
+    from ..io import surgery
+    from ..io.weights import load_weights, init_params, save_weights
+    src_spec = parse_network_cfg(cfg_src)
+    src_params, _ = load_weights(src_spec, weights)
+    dst_spec = parse_network_cfg(cfg_dst)
+    dst_params = init_params(dst_spec)
+    merged, copied = surgery.transfer(src_params, src_spec, dst_spec,
+                                      dst_params)
+    save_weights(dst_spec, merged, out, seen=0)
+    print(f"transferred {copied} layers -> {out}")
+
+
+def cmd_3d(argv):
+    from .misc_apps import composite_3d
+    delta = find_value(argv, "-delta", 0, int)
+    out = argv[2] if len(argv) > 2 else "out.ppm"
+    return composite_3d(argv[0], argv[1], out, delta=delta)
+
+
+def cmd_imtest(argv):
+    from .misc_apps import imtest
+    return imtest(argv[0], find_value(argv, "-out", "."))
+
+
+def cmd_vid(argv):
+    """rnn_vid: per-frame conv features -> feature-RNN demo."""
+    from .misc_apps import VideoRNN
+    from ..robot.frame_source import ImageDirectorySource
+    cfg = argv[0]
+    weights = argv[1] if len(argv) > 1 and not argv[1].startswith("-") \
+        else None
+    pattern = find_value(argv, "-frames", "frames/*.ppm")
+    vr = VideoRNN(cfg, weights)
+    import numpy as np
+    src = ImageDirectorySource(pattern)
+    frames = []
+    for f in src:
+        frames.append(f.color.astype(np.float32) / 255.0)
+    feats = vr.features(np.stack(frames))
+    print(f"extracted features: {feats.shape}")
+    return feats
+
+
 def cmd_dice(argv):
     from .misc_apps import dice
     return dice(argv[0], argv[1], argv[2])
@@ -311,6 +359,12 @@ COMMANDS = {
     "partial": cmd_partial,
     "average": cmd_average,
     "rescale": _surgery_cmd("rescale_net"),
+    "reset": _surgery_cmd("reset_normalize_net"),
+    "oneoff": cmd_oneoff,
+    "3d": cmd_3d,
+    "imtest": cmd_imtest,
+    "test": cmd_imtest,
+    "vid": cmd_vid,
     "rgbgr": _surgery_cmd("rgbgr_net"),
     "denormalize": _surgery_cmd("denormalize_net"),
     "normalize": _surgery_cmd("normalize_net"),

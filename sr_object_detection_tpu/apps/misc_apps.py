@@ -275,3 +275,58 @@ def run_yolo_v1(data_cfg: str, cfg: str, weights, argv, classes=20):
                 ckpt.checkpoint_name(backup_dir, base, i), spec,
                 trainer.state)
     return trainer
+
+
+def composite_3d(path_a: str, path_b: str, out_path: str = "out.ppm",
+                 delta: int = 0, search: int = 0):
+    """'3d' command (darknet.c:461 / image.c composite_3d): red-cyan
+    anaglyph from a stereo pair after finding the vertical shift that
+    best aligns them."""
+    a = load_image_rgb(path_a)
+    b = load_image_rgb(path_b)
+    h = min(a.shape[0], b.shape[0])
+    w = min(a.shape[1], b.shape[1])
+    a, b = a[:h, :w], b[:h, :w]
+    rng = search or max(h // 100, 1)
+    best_shift, best_d = 0, np.inf
+    for s in range(-rng, rng + 1):
+        bs = np.roll(b, s, axis=0)
+        d = float(np.mean(np.abs(bs[rng:-rng or None] -
+                                 a[rng:-rng or None])))
+        if d < best_d:
+            best_d, best_shift = d, s
+    bs = np.roll(b, best_shift + delta, axis=0)
+    out = bs.copy()
+    out[..., 0] = a[..., 0]          # red from the left eye
+    from .nightmare_app import _save_ppm
+    _save_ppm(out_path, out)
+    print(f"3d: shift {best_shift}, wrote {out_path}")
+    return out
+
+
+def imtest(image_path: str, out_dir: str = "."):
+    """test_resize (image.c:1995-2042): write resized / letterboxed /
+    distorted variants for visual inspection."""
+    import os
+    from ..ops.image import letterbox_image_np
+    from ..data.augment import distort_image, flip_horizontal
+    from .nightmare_app import _save_ppm
+    im = load_image_rgb(image_path)
+    h, w = im.shape[:2]
+    variants = {
+        "resize_half": resize_image_np(im, w // 2, h // 2),
+        "resize_double": resize_image_np(im, w * 2, h * 2),
+        "letterbox": letterbox_image_np(im, max(w, h), max(w, h)),
+        "flip": flip_horizontal(im),
+        "sat2": distort_image(im, 0.0, 2.0, 1.0),
+        "exp2": distort_image(im, 0.0, 1.0, 2.0),
+        "hue_shift": distort_image(im, 0.1, 1.0, 1.0),
+    }
+    outs = []
+    base = os.path.splitext(os.path.basename(image_path))[0]
+    for name, v in variants.items():
+        p = os.path.join(out_dir, f"{base}_{name}.ppm")
+        _save_ppm(p, np.clip(v, 0, 1))
+        outs.append(p)
+    print(f"wrote {len(outs)} variants")
+    return outs

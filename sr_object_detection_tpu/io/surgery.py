@@ -170,3 +170,31 @@ def transfer(src_params, src_spec, dst_spec, dst_params):
                 continue
         out.append(dp)
     return out, copied
+
+
+def reset_normalize_net(params, spec: S.NetworkSpec):
+    """'reset' command (darknet.c:206-232): fold BN statistics into the
+    weights (denormalize_convolutional/connected_layer) but KEEP the BN
+    structure with identity stats — unlike denormalize_net which strips
+    BN from the graph."""
+    out = []
+    for l, p in zip(spec.layers, params):
+        if isinstance(l, (S.ConvSpec, S.ConnectedSpec)) and p and \
+                getattr(l, "batch_normalize", False):
+            p = dict(p)
+            scales = np.asarray(p["scales"])
+            mean = np.asarray(p["rolling_mean"])
+            var = np.asarray(p["rolling_variance"])
+            inv = scales / (np.sqrt(var) + 1e-6)
+            w = np.asarray(p["weights"])
+            if isinstance(l, S.ConvSpec):
+                p["weights"] = w * inv[None, None, None, :]
+            else:
+                p["weights"] = w * inv[:, None]
+            p["biases"] = np.asarray(p["biases"]) - mean * inv
+            n = len(scales)
+            p["scales"] = np.ones(n, np.float32)
+            p["rolling_mean"] = np.zeros(n, np.float32)
+            p["rolling_variance"] = np.ones(n, np.float32)
+        out.append(p)
+    return out

@@ -348,3 +348,42 @@ def test_fill_hierarchy_masking(tmp_path):
     # only non-masked entries contribute: positions 0..3,5,6
     expected = sum((v - 0.5) ** 2 for v in [1, 0, 0, 1, 1, 0])
     assert abs(cost - expected) < 1e-5
+
+
+def test_reset_normalize_preserves_inference():
+    """'reset' surgery (darknet.c:206-232): BN folded into weights,
+    stats reset to identity, graph structure kept."""
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.graph.compiler import build_forward
+    spec = zoo.tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    rng = np.random.default_rng(0)
+    for p in params:
+        if p and "rolling_variance" in p:
+            p["rolling_variance"] = rng.uniform(
+                0.5, 2, p["rolling_variance"].shape).astype(np.float32)
+            p["rolling_mean"] = rng.normal(
+                0, 0.5, p["rolling_mean"].shape).astype(np.float32)
+    x = rng.random((1, 64, 64, 3)).astype(np.float32)
+    ref, _ = build_forward(spec)(params, x)
+    reset = surgery.reset_normalize_net(params, spec)
+    got, _ = build_forward(spec)(reset, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    assert np.allclose(reset[0]["scales"], 1.0)
+
+
+def test_composite_3d_and_imtest(tmp_path):
+    from sr_object_detection_tpu.apps.misc_apps import composite_3d, imtest
+    rng = np.random.default_rng(0)
+    a = rng.random((40, 40, 3)).astype(np.float32)
+    b = np.roll(a, 3, axis=0)
+    pa, pb = tmp_path / "a.ppm", tmp_path / "b.ppm"
+    for p, im in ((pa, a), (pb, b)):
+        with open(p, "wb") as f:
+            f.write(b"P6\n40 40\n255\n" if False else
+                    bytes(f"P6\n40 40\n255\n", "ascii"))
+            f.write((im * 255).astype(np.uint8).tobytes())
+    out = composite_3d(str(pa), str(pb), str(tmp_path / "o.ppm"))
+    assert out.shape == (40, 40, 3)
+    outs = imtest(str(pa), str(tmp_path))
+    assert len(outs) == 7
