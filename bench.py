@@ -74,6 +74,37 @@ def main():
     except Exception as e:
         print(f"yolov2-608 bench skipped: {e}", file=sys.stderr)
 
+    try:
+        import dataclasses
+        from sr_object_detection_tpu.train.trainer import (
+            make_train_step, TrainState)
+        from sr_object_detection_tpu.train.sgd import init_velocity
+        tspec = dataclasses.replace(
+            spec, net=dataclasses.replace(spec.net, batch=32,
+                                          subdivisions=1))
+        tparams = jax.tree.map(jnp.asarray, init_params(tspec, seed=0))
+        state = TrainState(tparams, init_velocity(tparams),
+                           jnp.asarray(0))
+        tstep = jax.jit(make_train_step(tspec, compute_dtype=jnp.bfloat16),
+                        donate_argnums=(0,))
+        xt = jnp.asarray(np.random.uniform(
+            0, 1, (32, 416, 416, 3)).astype(np.float32))
+        tt = np.zeros((32, 30, 5), np.float32)
+        tt[:, 0] = [0.5, 0.5, 0.3, 0.3, 1]
+        tt = jnp.asarray(tt)
+        rngk = jax.random.PRNGKey(0)
+        state, m = tstep(state, xt, tt, rngk)
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(5):
+            state, m = tstep(state, xt, tt, rngk)
+        float(m["loss"])
+        dt = (time.perf_counter() - t0) / 5
+        print(f"training (bf16 region loss, batch 32): {32/dt:.0f} img/s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"training bench skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "tiny-yolo-voc-416 images/sec/chip",
         "value": round(ips, 1),

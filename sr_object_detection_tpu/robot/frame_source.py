@@ -31,6 +31,11 @@ class RGBDFrame:
     depth: Optional[np.ndarray]           # (Hd, Wd) uint16 mm or None
     intrinsics: tuple = KINECT_INTRINSICS
     timestamp: float = 0.0
+    # tracked skeletons: {body_id: (J, 3) camera-space joints}
+    # (the Kinect Body frame analog, Process_Kinect.cpp:1029-1200)
+    skeletons: Optional[dict] = None
+    # per-pixel body index mask, 255 = background (BodyIndex frame)
+    body_index: Optional[np.ndarray] = None
 
 
 class FrameSource:

@@ -100,7 +100,8 @@ class RobotPerception:
     def __init__(self, detector, *, names: Optional[Sequence[str]] = None,
                  event: str = "General", max_distance: float = 0.0,
                  detect_every: int = 1, nl_path: Optional[str] = None,
-                 ipc=None, thresh: float = 0.24, nms: float = 0.1):
+                 ipc=None, thresh: float = 0.24, nms: float = 0.1,
+                 action_recognizer=None):
         """detector: infer.detector.Detector (or any object with a
         .detect(frame_float_hwc, thresh=, nms=) -> [Detection])."""
         self.detector = detector
@@ -116,6 +117,11 @@ class RobotPerception:
         self.nms = nms
         self.frame_idx = 0
         self._trackers: list[tuple[native.KCFTracker, dict]] = []
+        # per-body skeleton action recognition (Process_Kinect analog):
+        # one robot.action.ActionRecognizer shared across bodies, fed
+        # per-frame joints, flushed when a body disappears
+        self.actions = action_recognizer
+        self._skeleton_bufs: dict = {}
 
     def _allowed_ids(self) -> Optional[list[int]]:
         cats = EVENT_CATEGORIES.get(self.event)
@@ -163,6 +169,31 @@ class RobotPerception:
                 dets = [d for d in dets
                         if 0 < d["cam"][2] <= self.max_distance]
 
+        # person association via the body-index mask (objectBelong2Person)
+        if frame.body_index is not None and dets:
+            from .interaction import associate_person
+            for d in dets:
+                d["body_id"] = associate_person(d["box"], frame.body_index)
+
+        # skeleton action recognition: buffer joints per body; classify
+        # when a tracked body disappears (Process_Kinect.cpp:800-835)
+        actions = []
+        if self.actions is not None and frame.skeletons is not None:
+            live = set(frame.skeletons)
+            for bid, joints in frame.skeletons.items():
+                self._skeleton_bufs.setdefault(bid, []).append(
+                    np.asarray(joints, np.float32))
+            for bid in list(self._skeleton_bufs):
+                if bid not in live:
+                    clip = self._skeleton_bufs.pop(bid)
+                    for j in clip:
+                        self.actions.push(j)
+                    res = self.actions.flush()
+                    if res:
+                        actions.append({"body_id": bid,
+                                        "action": res[0],
+                                        "score": res[1]})
+
         dets = self.tracks.update(dets, w, h)
         self.memory.update(dets)
         stable = self.memory.objects()
@@ -176,8 +207,18 @@ class RobotPerception:
         if self.ipc is not None and stable:
             self.ipc.object_recognized(stable, frame.timestamp)
 
+        if self.ipc is not None and actions:
+            for a in actions:
+                try:
+                    self.ipc.object_recognized(
+                        [{"name": a["action"], "prob": a["score"],
+                          "class_id": -1, "cam": (0, 0, 0)}],
+                        frame.timestamp)
+                except Exception:
+                    pass
         return {"detections": dets, "objects": stable,
-                "reminders": reminders, "sentence": sentence}
+                "reminders": reminders, "sentence": sentence,
+                "actions": actions}
 
     def run(self, source: FrameSource, max_frames: int = 0) -> list[dict]:
         results = []

@@ -250,3 +250,40 @@ def test_registration_baseline_shift():
     # inverse recovers the depth pixel
     back = reg.color_px_to_depth_px(cpx, depth)
     np.testing.assert_allclose(back, dpx, atol=0.5)
+
+
+def test_pipeline_action_recognition():
+    """Skeleton action recognition inside the frame loop: joints
+    buffered per body, classified when the body leaves the scene."""
+    from sr_object_detection_tpu.robot.action import (
+        ELM, ActionRecognizer, HistogramConfig, motion_histograms,
+        N_JOINTS)
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_action_interaction import _make_clip
+
+    cfg = HistogramConfig()
+    xs, ys = [], []
+    for label, kind in enumerate(["wave", "walk"]):
+        for s in range(10):
+            xs.append(motion_histograms(_make_clip(kind, seed=s), cfg))
+            ys.append(label)
+    model = ELM(hidden=64, seed=1).fit(np.stack(xs), np.asarray(ys), 2)
+    rec = ActionRecognizer(model, ["wave", "walk"], cfg)
+
+    pipe = RobotPerception(FakeDetector(), names=["redbox", "greenbox"],
+                           action_recognizer=rec)
+    clip = _make_clip("wave", seed=321)
+    src = SyntheticRGBDSource(n_frames=len(clip) + 2)
+    results = []
+    for i, frame in enumerate(src):
+        # body 7 present for the clip, then leaves
+        if i < len(clip):
+            frame.skeletons = {7: clip[i]}
+        else:
+            frame.skeletons = {}
+        results.append(pipe.process(frame))
+    acts = [a for r in results for a in r["actions"]]
+    assert len(acts) == 1
+    assert acts[0]["body_id"] == 7
+    assert acts[0]["action"] == "wave"
