@@ -103,6 +103,7 @@ def shortcut(x, from_x, activation_fn):
     if stride == 1 and sample == 1 and (h1, w1, c1) == (h2, w2, c2):
         y = x + from_x
     else:
+        x = jnp.asarray(x)
         add = from_x[:, :minh * stride:stride, :minw * stride:stride, :minc]
         if sample == 1:
             y = x.at[:, :minh, :minw, :minc].add(add)

@@ -148,3 +148,24 @@ def hierarchy_predictions(pred, parent):
         if p >= 0:
             pred[j] *= pred[p]
     return pred
+
+
+def shortcut_cpu(batch, w1, h1, c1, add, w2, h2, c2, out):
+    """blas.c:57-81 verbatim; add (c1,h1,w1) flat, out (c2,h2,w2) flat."""
+    stride = w1 // w2
+    sample = w2 // w1
+    assert stride == h1 // h2 and sample == h2 // h1
+    stride = max(stride, 1)
+    sample = max(sample, 1)
+    minw = min(w1, w2)
+    minh = min(h1, h2)
+    minc = min(c1, c2)
+    out = out.copy()
+    for b in range(batch):
+        for k in range(minc):
+            for j in range(minh):
+                for i in range(minw):
+                    out_index = i * sample + w2 * (j * sample + h2 * (k + c2 * b))
+                    add_index = i * stride + w1 * (j * stride + h1 * (k + c1 * b))
+                    out[out_index] += add[add_index]
+    return out

@@ -180,3 +180,21 @@ def test_pallas_nms_matches_xla_interpret():
         jnp.asarray(boxes), jnp.asarray(probs), 0.45, k=n,
         interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("w1,c1,w2,c2", [
+    (8, 4, 8, 4),    # same dims (residual)
+    (16, 4, 8, 6),   # downsample source (stride 2)
+    (8, 6, 16, 4),   # upsample into strided positions (sample 2)
+    (8, 8, 8, 4),    # channel mismatch
+])
+def test_shortcut_resampling_matches_darknet(w1, c1, w2, c2):
+    rng = np.random.default_rng(8)
+    frm = rng.standard_normal((c1, w1, w1)).astype(np.float32)
+    base = rng.standard_normal((c2, w2, w2)).astype(np.float32)
+    ref = oracle.shortcut_cpu(1, w1, w1, c1, frm.ravel(),
+                              w2, w2, c2, base.ravel())
+    ref = ref.reshape(c2, w2, w2)
+    got = nhwc_to_chw(L.shortcut(chw_to_nhwc(base), chw_to_nhwc(frm),
+                                 lambda x: x))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
