@@ -27,12 +27,13 @@ FRAMES = 3   # demo.c:30
 class StreamingDemo:
     def __init__(self, detector, source: FrameSource, *,
                  thresh: float = 0.24, nms: float = 0.4,
-                 names=None):
+                 names=None, out_dir: Optional[str] = None):
         self.det = detector
         self.source = source
         self.thresh = thresh
         self.nms = nms
         self.names = names
+        self.out_dir = out_dir   # write annotated frames (demo OSD analog)
         self.ring = collections.deque(maxlen=FRAMES)
         self.fps = 0.0
 
@@ -75,6 +76,16 @@ class StreamingDemo:
 
             r = {"detections": dets, "fps": self.fps,
                  "timestamp": cur["frame"].timestamp}
+            if self.out_dir:
+                import os
+                from ..ops.draw import draw_detections
+                from .nightmare_app import _save_ppm
+                img = cur["frame"].color.astype(np.float32) / 255.0
+                classes = getattr(getattr(self.det, "region", None),
+                                  "classes", 20)
+                _save_ppm(os.path.join(self.out_dir,
+                                       f"demo_{n:05d}.ppm"),
+                          draw_detections(img, dets, classes))
             results.append(r)
             if on_result:
                 on_result(r)

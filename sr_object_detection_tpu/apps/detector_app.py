@@ -188,9 +188,10 @@ def demo_detector(cfg: str, weights: str, argv: list[str]):
     names_file = find_value(argv, "-names", None)
     names = read_names(names_file) if names_file else None
     thresh = find_value(argv, "-thresh", 0.24, float)
+    out_dir = find_value(argv, "-outdir", None)
     det = Detector(cfg, weights, names=names)
     demo = StreamingDemo(det, ImageDirectorySource(pattern),
-                         thresh=thresh)
+                         thresh=thresh, out_dir=out_dir)
 
     def show(r):
         labels = ", ".join(f"{d.name or d.class_id}:{d.prob:.2f}"

@@ -162,3 +162,34 @@ def test_go_engine_moves():
         assert 0 <= r < BOARD and 0 <= c < BOARD
         ranked = eng.legal_moves_ranked(board, k=5)
         assert len(ranked) == 5
+
+
+def test_streaming_demo_annotated_output(tmp_path):
+    from sr_object_detection_tpu.apps.demo_app import StreamingDemo
+    from sr_object_detection_tpu.robot.frame_source import (
+        SyntheticRGBDSource)
+    import test_apps as _self  # reuse the TinyDetector pattern inline
+
+    class TinyDetector:
+        def preprocess(self, img):
+            return img[:64, :64]
+
+        def predict_batch(self, x):
+            import jax.numpy as jnp
+            boxes = jnp.tile(jnp.asarray([[0.5, 0.5, 0.2, 0.2]]), (8, 1))
+            probs = jnp.zeros((8, 4)).at[0, 1].set(0.9)
+            return boxes[None], probs[None]
+
+        def _collect(self, boxes, probs, thresh):
+            from sr_object_detection_tpu.infer.detector import Detection
+            cls = probs.argmax(1)
+            p = probs[np.arange(len(cls)), cls]
+            return [Detection(tuple(boxes[i]), int(cls[i]), float(p[i]))
+                    for i in np.nonzero(p > thresh)[0]]
+
+    demo = StreamingDemo(TinyDetector(), SyntheticRGBDSource(n_frames=3),
+                         out_dir=str(tmp_path))
+    demo.run()
+    import glob
+    frames = glob.glob(str(tmp_path / "demo_*.ppm"))
+    assert len(frames) == 3
