@@ -141,3 +141,30 @@ def test_flat_rnn_parity(name):
 def test_mini_xnor_parity():
     """XNOR conv inference (binarized weights + sign input) vs oracle."""
     _run("mini_xnor", tol=2e-5)
+
+
+def test_tree_classifier_softmax_parity(tmp_path):
+    """[softmax] tree= (the 9k classifier head): grouped softmax output
+    must match the C oracle; hierarchy path products must match
+    hierarchy_predictions on top."""
+    g = _load("mini_tree_cls")
+    tree_path = tmp_path / "mini.tree"
+    tree_path.write_text(bytes(g["tree"]).decode())
+    cfg_text = bytes(g["cfg"]).decode().replace("{TREE}", str(tree_path))
+    net = S.build_network_spec(parse_cfg_text(cfg_text))
+    from sr_object_detection_tpu.graph.compiler import (CompiledNetwork,
+                                                        resolve_trees)
+    params = init_params(net, seed=int(g["seed"]))
+    cn = CompiledNetwork(net)
+    x = np.transpose(g["input_chw"], (1, 2, 0))[None]
+    out, _ = cn.forward(params, x)
+    np.testing.assert_allclose(np.asarray(out)[0], g["output"],
+                               rtol=2e-5, atol=2e-5)
+
+    # hierarchy path product on top (predict_classifier:717)
+    import darknet_oracle as oracle
+    from sr_object_detection_tpu.ops.boxes import hierarchy_multiply
+    tree = cn.trees[2]
+    ref = oracle.hierarchy_predictions(g["output"], np.asarray(tree.parent))
+    got = np.asarray(hierarchy_multiply(np.asarray(out)[0], tree.parent))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)

@@ -878,3 +878,52 @@ activation=leaky
 
 [avgpool]
 """
+
+
+MINI_TREE_CLS = """
+[net]
+batch=1
+height=8
+width=8
+channels=3
+
+[convolutional]
+filters=7
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[avgpool]
+
+[softmax]
+groups=1
+tree={TREE}
+"""
+
+
+def gen_tree_classifier(oracle: str, seed: int = 0):
+    name = "mini_tree_cls"
+    with tempfile.TemporaryDirectory() as td:
+        td = pathlib.Path(td)
+        tree_path = td / "mini.tree"
+        tree_path.write_text(TREE_TEXT)
+        cfg_text = MINI_TREE_CLS.replace("{TREE}", str(tree_path))
+        net = S.build_network_spec(parse_cfg_text(cfg_text))
+        params = init_params(net, seed=seed)
+        rng = np.random.default_rng(seed + 1000)
+        x_chw = rng.uniform(0, 1, (3, 8, 8)).astype(np.float32)
+        save_weights(net, params, str(td / "w.weights"))
+        (td / "net.cfg").write_text(cfg_text)
+        (td / "in.bin").write_bytes(x_chw.tobytes())
+        subprocess.run(
+            [oracle, str(td / "net.cfg"), str(td / "w.weights"),
+             str(td / "in.bin"), str(td / "out.bin")],
+            check=True, capture_output=True)
+        out = np.frombuffer((td / "out.bin").read_bytes(), dtype="<f4").copy()
+    np.savez_compressed(
+        GOLDEN / name,
+        cfg=np.frombuffer(MINI_TREE_CLS.encode(), dtype=np.uint8),
+        tree=np.frombuffer(TREE_TEXT.encode(), dtype=np.uint8),
+        seed=np.int64(seed), input_chw=x_chw, output=out)
+    print(f"{name}: out {out}")
