@@ -387,3 +387,31 @@ def test_composite_3d_and_imtest(tmp_path):
     assert out.shape == (40, 40, 3)
     outs = imtest(str(pa), str(tmp_path))
     assert len(outs) == 7
+
+
+def test_lr_policies_traced_vs_host():
+    """get_current_rate (network.c:48-79): the jittable schedule must
+    match the host-side exact version across policies and batch nums."""
+    import dataclasses
+    import jax
+    from sr_object_detection_tpu.graph.spec import NetSpec
+    from sr_object_detection_tpu.train.sgd import (learning_rate,
+                                                   learning_rate_py)
+    base = NetSpec(learning_rate=0.1, max_batches=1000, burn_in=100)
+    cases = [
+        dataclasses.replace(base, policy="constant"),
+        dataclasses.replace(base, policy="step", step=100, scale=0.5),
+        dataclasses.replace(base, policy="steps", steps=(100, 400),
+                            scales=(0.1, 0.1)),
+        dataclasses.replace(base, policy="exp", gamma=0.999),
+        dataclasses.replace(base, policy="poly", power=4.0),
+        dataclasses.replace(base, policy="sigmoid", gamma=0.01, step=500),
+    ]
+    for net in cases:
+        f = jax.jit(lambda bn, net=net: learning_rate(net, bn))
+        for bn in (0, 1, 50, 99, 100, 101, 399, 400, 500, 999):
+            traced = float(f(bn))
+            host = learning_rate_py(net, bn)
+            # traced math is float32; host is float64
+            assert abs(traced - host) < 1e-4 * max(host, 1e-9) + 1e-7, (
+                net.policy, bn, traced, host)
