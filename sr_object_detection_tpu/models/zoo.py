@@ -170,7 +170,7 @@ def yolo9000(width: int = 416, height: int = 416, batch: int = 1,
     b.section("region", anchors=YOLO9000_ANCHORS, bias_match=1,
               classes=classes, coords=4, num=n, softmax=1, jitter=.2,
               rescore=1, object_scale=5, noobject_scale=1, class_scale=1,
-              coord_scale=1, thresh=.6, classfix=1,
+              coord_scale=1, thresh=.6,
               tree=tree_file, map=map_file)
     return b.build()
 

@@ -165,6 +165,29 @@ def region_delta(raw_flat, truth, seen, spec: RegionSpec, *,
 
     d_cls = jnp.zeros_like(cls_prob)
 
+    # ---- stage 1c: classfix>0 class delta at high-IoU locations ------
+    # (region_layer.c:235-240): where best_iou > thresh, push the class
+    # toward the best-IoU truth's class with scale class_scale*(obj for
+    # classfix==2, else 1). Note: the RAW truth class — the reference
+    # does NOT remap through l.map here, unlike the stage-2 delta.
+    if spec.classfix > 0:
+        best_t = jnp.argmax(ious, axis=-1)                  # (B,H,W,A)
+        bc = jnp.take_along_axis(
+            jnp.broadcast_to(tcls[:, None, None, None, :], ious.shape),
+            best_t[..., None], axis=-1)[..., 0]             # (B,H,W,A)
+        fix_scale = spec.class_scale * (
+            obj if spec.classfix == 2 else jnp.ones_like(obj))
+        if tree is not None:
+            posf, grpf = tree.class_delta_masks(bc)         # (B,H,W,A,C)
+            d_fix = jnp.where(
+                grpf, fix_scale[..., None] *
+                (posf.astype(cls_prob.dtype) - cls_prob), 0.0)
+        else:
+            onehot_f = jax.nn.one_hot(bc, c, dtype=cls_prob.dtype)
+            d_fix = fix_scale[..., None] * (onehot_f - cls_prob)
+        d_cls = jnp.where((best_iou > spec.thresh)[..., None], d_fix,
+                          d_cls)
+
     # ---- stage 2: per-truth assignment (region_layer.c:259-313) ------
     ti = jnp.clip((tboxes[..., 0] * w).astype(jnp.int32), 0, w - 1)
     tj = jnp.clip((tboxes[..., 1] * h).astype(jnp.int32), 0, h - 1)
@@ -232,15 +255,19 @@ def region_delta(raw_flat, truth, seen, spec: RegionSpec, *,
         d_cls_assigned = spec.class_scale * (onehot - a_cls_prob)
 
     # ---- scatter assigned deltas (sequential overwrite in reference;
-    #      duplicate cells are rare and last-wins either way) ----------
-    tjv, tiv, bnv = tj, ti, best_n
+    #      duplicate cells are rare and last-wins either way). Masked
+    #      (padding) truths are routed to an out-of-bounds row and
+    #      DROPPED — scattering a gathered pre-update value instead
+    #      would let a padding row overwrite a real truth assigned to
+    #      (0,0,anchor0), which the reference's early-break loop
+    #      (region_layer.c:224) never does. ---------------------------
     mask = tmask
+    tjv = jnp.where(mask, tj, h)          # h is out of bounds -> drop
+    tiv, bnv = ti, best_n
 
     def scatter(base, upd):
         """base (B,H,W,A,K); upd (B,30,K) masked scatter-set."""
-        upd = jnp.where(mask[..., None], upd,
-                        base[bsel, tjv, tiv, bnv])
-        return base.at[bsel, tjv, tiv, bnv].set(upd)
+        return base.at[bsel, tjv, tiv, bnv].set(upd, mode="drop")
 
     d_coord = scatter(d_coord, d_assigned)
     d_obj = scatter(d_obj[..., None], d_obj_assigned[..., None])[..., 0]

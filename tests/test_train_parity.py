@@ -79,6 +79,20 @@ def test_train_region_bn():
     _train_and_compare("train_region_bn", wtol=2e-4, ctol=1e-3)
 
 
+def test_train_region_classfix2():
+    """classfix=2 stage-1 class delta (toward the best-IoU truth's class
+    at best_iou>thresh locations, scaled by objectness,
+    region_layer.c:237-240)."""
+    _train_and_compare("train_region_classfix2", wtol=1e-4, ctol=1e-3)
+
+
+def test_train_region_bn_subdivisions():
+    """10 steps at subdivisions=4 with BN: pins the SEQUENTIAL rolling
+    mean/variance cadence (one 0.9/0.1 update per micro-batch,
+    batchnorm_layer.c:133-136) threaded through the scan carry."""
+    _train_and_compare("train_region_bn_subdiv", wtol=2e-4, ctol=1e-3)
+
+
 def test_train_classifier_subdivisions():
     _train_and_compare("train_classifier", wtol=1e-4, ctol=1e-3,
                        truth_kind="classifier")
@@ -112,6 +126,48 @@ def test_train_yolov1_detection():
                 mine[i][k], ref, rtol=1e-4, atol=1e-4,
                 err_msg=f"yolov1: layer {i} ({l.kind}) param {k}")
     np.testing.assert_allclose(costs, g["costs"], rtol=1e-3)
+
+
+def test_region_padding_rows_cannot_clobber_cell0():
+    """Padded (all-zero) truth rows hash to (cell 0,0, anchor 0); they
+    must be DROPPED from the delta scatter, not scatter a stale value —
+    the reference's loop breaks at the first empty truth
+    (region_layer.c:224) so a real truth assigned to (0,0,anchor0)
+    keeps its deltas."""
+    from sr_object_detection_tpu.train.region_loss import region_delta
+
+    spec = S.RegionSpec(index=0, n=2, classes=3, coords=4,
+                        anchors=(1.0, 1.0, 3.0, 3.0), softmax=True,
+                        h=2, w=2, coord_scale=2.0, object_scale=5.0,
+                        noobject_scale=1.0, class_scale=1.0)
+    h = w = 2
+    a, f = 2, 4 + 1 + 3
+    rng = np.random.RandomState(0)
+    raw = rng.randn(1, h, w, a, f).astype(np.float32)
+
+    truth = np.zeros((1, 30, 5), np.float32)
+    # real box in cell (0,0) whose w,h exactly match anchor 0 ->
+    # best_n = 0: the same (b, j, i, n) the 29 padding rows map to
+    truth[0, 0] = [0.2, 0.2, 0.5, 0.5, 1]
+
+    import jax.numpy as jnp
+    _, delta, _ = region_delta(jnp.asarray(raw.reshape(1, -1)),
+                               jnp.asarray(truth), seen=20000, spec=spec)
+    delta = np.asarray(delta).reshape(1, h, w, a, f)
+
+    # expected assigned coord delta (delta_region_box at tj=ti=0, n=0)
+    sig = 1 / (1 + np.exp(-raw[0, 0, 0, 0, 0:2]))
+    tx, ty = 0.2 * w - 0, 0.2 * h - 0
+    tw = np.log(0.5 * w / 1.0)
+    th = np.log(0.5 * h / 1.0)
+    want = spec.coord_scale * np.array([
+        (tx - sig[0]) * sig[0] * (1 - sig[0]),
+        (ty - sig[1]) * sig[1] * (1 - sig[1]),
+        tw - raw[0, 0, 0, 0, 2],
+        th - raw[0, 0, 0, 0, 3]], np.float32)
+    np.testing.assert_allclose(delta[0, 0, 0, 0, 0:4], want,
+                               rtol=1e-5, atol=1e-6)
+    assert np.abs(want).max() > 1e-3   # the check is non-vacuous
 
 
 def test_train_tree_region_yolo9000_path():
