@@ -123,21 +123,41 @@ def make_train_step(spec: S.NetworkSpec, *, mesh=None,
         return cost, (aux.get("bn", {}), stats)
 
     def train_step(state: TrainState, x, truth, rng):
+        xs = x.reshape(subdivs, micro, *x.shape[1:])
+        ts = truth.reshape(subdivs, micro, *truth.shape[1:])
+
+        # BN rolling stats are threaded through the scan carry so each
+        # micro-batch applies its 0.9/0.1 update against the PREVIOUS
+        # micro's result — the reference's sequential cadence
+        # (batchnorm_layer.c:133-136), one update per micro-batch. The
+        # update structure is discovered by abstract tracing (rolling
+        # stats never affect the train-mode forward, so writing the
+        # carried values into params changes no gradient).
+        bn_tree = jax.eval_shape(micro_loss, state.params, xs[0], ts[0],
+                                 state.seen, rng)[1][0]
+        bn0 = {i: {k: state.params[i][k] for k in d}
+               for i, d in bn_tree.items()}
+
+        def _with_bn(params, bn_carry):
+            new = list(params)
+            for i, upd in bn_carry.items():
+                new[i] = {**new[i], **upd}
+            return new
+
         def one_micro(carry, inp):
-            grads_acc, seen, rng = carry
+            grads_acc, seen, rng, bn_carry = carry
             xm, tm = inp
             rng, sub = jax.random.split(rng)
             (cost, (bn, stats)), grads = jax.value_and_grad(
-                micro_loss, has_aux=True)(state.params, xm, tm, seen, sub)
+                micro_loss, has_aux=True)(
+                    _with_bn(state.params, bn_carry), xm, tm, seen, sub)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             seen = seen + micro
-            return (grads_acc, seen, rng), (cost, bn, stats)
+            return (grads_acc, seen, rng, bn), (cost, stats)
 
         grads0 = jax.tree.map(jnp.zeros_like, state.params)
-        xs = x.reshape(subdivs, micro, *x.shape[1:])
-        ts = truth.reshape(subdivs, micro, *truth.shape[1:])
-        (grads, seen, _), (costs, bns, stats) = jax.lax.scan(
-            one_micro, (grads0, state.seen, rng), (xs, ts))
+        (grads, seen, _, bns), (costs, stats) = jax.lax.scan(
+            one_micro, (grads0, state.seen, rng, bn0), (xs, ts))
 
         batch_num = seen // (micro * subdivs)
         lr = learning_rate(net, batch_num)
@@ -146,10 +166,7 @@ def make_train_step(spec: S.NetworkSpec, *, mesh=None,
             lr=lr, batch_size=micro * subdivs,
             momentum=net.momentum, decay=net.decay)
 
-        # fold the LAST micro-batch's rolling BN stats back in (the scan
-        # threads params functionally; sequential per-micro rolling
-        # updates are approximated by the final micro's update, which
-        # matches the reference's magnitude after the first steps)
+        # write the sequentially-accumulated rolling stats back in
         new_params = _merge_bn(new_params, bns)
 
         metrics = {"loss": jnp.sum(costs), "lr": lr,
