@@ -128,13 +128,16 @@ def validate_detector(data_cfg: str, cfg: str, weights: str,
         import jax.numpy as jnp
         from ..ops import boxes as B
         x = det.preprocess(img)[None]
-        boxes, probs = det.predict_batch(jnp.asarray(x))
+        boxes, probs = det.predict_batch(jnp.asarray(x), thresh=thresh)
         boxes = np.asarray(boxes[0])
         probs = np.asarray(probs[0])
-        probs = np.where(probs > thresh, probs, 0.0)
         if nms > 0:
+            # full-k NMS: valid is offline and scored on the whole
+            # low-confidence tail (thresh .005), so the top-k
+            # truncation the latency path uses would drop real lines
             probs = np.asarray(B.nms_sort_topk(
-                jnp.asarray(boxes), jnp.asarray(probs), nms))
+                jnp.asarray(boxes), jnp.asarray(probs), nms,
+                k=len(boxes)))
         for name, lines in voc_det_lines(image_id, boxes, probs, names,
                                          iw, ih).items():
             for line in lines:

@@ -71,9 +71,10 @@ class Detector:
         self._predict = jax.jit(partial(self._predict_impl, train=False))
 
     # ------------------------------------------------------------------
-    def _predict_impl(self, params, x, *, train=False):
-        """x: (B, net_h, net_w, 3) preprocessed. Returns (boxes, probs):
-        boxes (B, N, 4) relative; probs (B, N, classes)."""
+    def _predict_impl(self, params, x, thresh, *, train=False):
+        """x: (B, net_h, net_w, 3) preprocessed; thresh: scalar (traced).
+        Returns (boxes, probs): boxes (B, N, 4) relative; probs
+        (B, N, classes) with get_region_boxes' thresholding applied."""
         out, _ = self.compiled.forward(params, x)
         r = self.region
         nf = r.coords + r.classes + 1
@@ -84,19 +85,29 @@ class Detector:
         cls = acts[..., 5:]
         if self.tree is not None:
             cls = B.hierarchy_multiply(cls, self.tree.parent)
-            if self.class_map is not None:
-                cls = cls[..., jnp.asarray(self.class_map)]
-            else:
-                cls = _hierarchy_walk(cls)
         if r.classfix == -1:
             obj = jnp.where(obj < 0.5, 0.0, obj)
-        probs = obj[..., None] * cls
+        if self.tree is not None and self.class_map is None:
+            # no-map tree branch (region_layer.c:357-366): probs are the
+            # deepest-confident PATH PROBABILITY, gated on objectness >
+            # thresh — NOT objectness*prob thresholded on the product.
+            cls = _hierarchy_walk(cls)
+            probs = jnp.where(obj[..., None] > thresh, cls, 0.0)
+        else:
+            if self.tree is not None:
+                cls = cls[..., jnp.asarray(self.class_map)]
+            probs = obj[..., None] * cls
+            probs = jnp.where(probs > thresh, probs, 0.0)
         b = x.shape[0]
         return boxes.reshape(b, -1, 4), probs.reshape(b, -1, probs.shape[-1])
 
-    def predict_batch(self, x_nhwc):
-        """Raw device prediction on preprocessed input."""
-        return self._predict(self.params, x_nhwc)
+    def predict_batch(self, x_nhwc, thresh: float = 0.0):
+        """Raw device prediction on preprocessed input. thresh applies
+        get_region_boxes' zeroing (a no-op at the default 0.0 for the
+        plain/map branches; REQUIRED for the tree-without-map branch
+        whose gate is objectness > thresh)."""
+        return self._predict(self.params, x_nhwc,
+                             jnp.asarray(thresh, jnp.float32))
 
     # ------------------------------------------------------------------
     def preprocess(self, image_hwc: np.ndarray) -> np.ndarray:
@@ -111,10 +122,9 @@ class Detector:
         """Full single-image pipeline (test_detector semantics:
         thresh .24 default, nms .4 — detector.c:455,466)."""
         x = self.preprocess(image_hwc)[None]
-        boxes, probs = self.predict_batch(jnp.asarray(x))
+        boxes, probs = self.predict_batch(jnp.asarray(x), thresh=thresh)
         boxes = np.asarray(boxes[0])
         probs = np.asarray(probs[0])
-        probs = np.where(probs > thresh, probs, 0.0)
         if nms > 0:
             probs = np.asarray(B.nms_sort_topk(
                 jnp.asarray(boxes), jnp.asarray(probs), nms,

@@ -110,6 +110,41 @@ def test_detector_decode_nms_parity(tmp_path):
     np.testing.assert_allclose(probs, g["probs"], rtol=3e-4, atol=3e-4)
 
 
+def test_detector_tree_nomap_decode_parity(tmp_path):
+    """Tree-without-map decode (get_region_boxes' no-map branch,
+    region_layer.c:357-366): probs = deepest-confident hierarchy PATH
+    probability gated on objectness > thresh (not obj*prob)."""
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.io.weights import save_weights
+    from sr_object_detection_tpu.infer.detector import Detector
+    from sr_object_detection_tpu.ops import boxes as B
+
+    g = _load("detect_tree_nomap")
+    tree_file = tmp_path / "mini.tree"
+    tree_file.write_text(bytes(g["tree"]).decode())
+    cfg_text = bytes(g["cfg"]).decode().replace("{TREE}", str(tree_file))
+    cfg_file = tmp_path / "net.cfg"
+    cfg_file.write_text(cfg_text)
+    net = S.build_network_spec(parse_cfg_text(cfg_text))
+    params = init_params(net, seed=int(g["seed"]))
+    wfile = tmp_path / "w.weights"
+    save_weights(net, params, str(wfile))
+
+    det = Detector(str(cfg_file), str(wfile))
+    assert det.tree is not None and det.class_map is None
+    x = np.transpose(g["input_chw"], (1, 2, 0))[None]
+    thresh, nms = float(g["thresh"]), float(g["nms"])
+    boxes, probs = det.predict_batch(jnp.asarray(x), thresh=thresh)
+    boxes = np.asarray(boxes[0])
+    probs = np.asarray(probs[0])
+    probs = np.asarray(B.nms_sort_topk(jnp.asarray(boxes),
+                                       jnp.asarray(probs), nms,
+                                       k=len(boxes)))
+    np.testing.assert_allclose(boxes, g["boxes"], rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(probs > 0, g["probs"] > 0)
+    np.testing.assert_allclose(probs, g["probs"], rtol=3e-4, atol=3e-4)
+
+
 def test_mini_local_parity():
     """Locally-connected layer forward vs the C oracle."""
     _run("mini_local", tol=2e-5)
