@@ -111,7 +111,16 @@ def load_weights(net: S.NetworkSpec, path: str, cutoff: int | None = None):
     params_list[i] is a dict pytree for layer i ({} for parameterless
     layers). Mirrors load_weights_upto (parser.c:1007-1083).
     """
-    params: list[dict] = [dict() for _ in net.layers]
+    # dontload layers keep their random initialization (the reference
+    # simply skips them in load_weights_upto, parser.c:1018, leaving
+    # make_*_layer's init in place) — an empty dict would KeyError on
+    # the first forward pass.
+    if any(l.dontload for l in net.layers):
+        fallback = init_params(net)
+        params: list[dict] = [fallback[i] if l.dontload else dict()
+                              for i, l in enumerate(net.layers)]
+    else:
+        params = [dict() for _ in net.layers]
     with open(path, "rb") as f:
         major, minor, revision = struct.unpack("<iii", f.read(12))
         if major * 10 + minor >= 2:
