@@ -124,19 +124,20 @@ def mean_ap(per_class_dets: dict, per_class_gt: dict,
 
 def voc_det_lines(image_id: str, boxes: np.ndarray, probs: np.ndarray,
                   class_names: Sequence[str], img_w: int, img_h: int):
-    """Per-class VOC lines: 'id conf x1 y1 x2 y2' with the reference's
-    +1 and clamping (print_detector_detections, detector.c:201-220).
+    """Per-class VOC lines: 'id conf x1 y1 x2 y2' clamped to
+    [0,w]x[0,h] (print_detector_detections, detector.c:201-220 — this
+    fork dropped upstream darknet's 1-based +1 shift).
 
     boxes are (N,4) center-relative; probs (N,C)."""
     out = {name: [] for name in class_names}
     for i in range(len(boxes)):
         x, y, w, h = boxes[i]
-        xmin = x * img_w - w * img_w / 2.0 + 1
-        xmax = x * img_w + w * img_w / 2.0 + 1
-        ymin = y * img_h - h * img_h / 2.0 + 1
-        ymax = y * img_h + h * img_h / 2.0 + 1
-        xmin = max(xmin, 1.0)
-        ymin = max(ymin, 1.0)
+        xmin = x * img_w - w * img_w / 2.0
+        xmax = x * img_w + w * img_w / 2.0
+        ymin = y * img_h - h * img_h / 2.0
+        ymax = y * img_h + h * img_h / 2.0
+        xmin = max(xmin, 0.0)
+        ymin = max(ymin, 0.0)
         xmax = min(xmax, float(img_w))
         ymax = min(ymax, float(img_h))
         for j, name in enumerate(class_names):

@@ -381,6 +381,20 @@ TRAIN_REGION_BN = TRAIN_REGION_NOBN.replace(
 ).replace(
     "[convolutional]\nfilters=16", "[convolutional]\nbatch_normalize=1\nfilters=16")
 
+# classfix=2: class delta toward the best-IoU truth's class at every
+# location with best_iou > thresh, scaled by objectness
+# (region_layer.c:237-240). thresh lowered so the branch actually fires
+# with random-init predictions.
+TRAIN_REGION_CLASSFIX2 = TRAIN_REGION_NOBN.replace(
+    "thresh=.6", "thresh=.05\nclassfix=2")
+
+# subdivisions>1 + BN: pins the SEQUENTIAL per-micro-batch rolling-stat
+# cadence (batchnorm_layer.c:133-136) over a longer run — the rolling
+# stats converge `subdivisions`x slower if only one 0.9/0.1 update is
+# applied per outer batch.
+TRAIN_REGION_BN_SUBDIV = TRAIN_REGION_BN.replace(
+    "batch=2\nsubdivisions=1", "batch=8\nsubdivisions=4")
+
 TRAIN_CLASSIFIER = """
 [net]
 batch=2
@@ -475,6 +489,10 @@ def main_train():
     oracle_train = sys.argv[2] if len(sys.argv) > 2 else "/tmp/refbuild/oracle_train"
     gen_train_case("train_region_nobn", TRAIN_REGION_NOBN, oracle_train)
     gen_train_case("train_region_bn", TRAIN_REGION_BN, oracle_train)
+    gen_train_case("train_region_bn_subdiv", TRAIN_REGION_BN_SUBDIV,
+                   oracle_train, steps=10)
+    gen_train_case("train_region_classfix2", TRAIN_REGION_CLASSFIX2,
+                   oracle_train, steps=3)
     gen_train_case("train_classifier", TRAIN_CLASSIFIER, oracle_train,
                    with_truth="classifier")
 
@@ -712,6 +730,206 @@ def gen_detect_case(name: str, cfg_path: str, oracle_detect: str,
         nms=np.float32(nms), input_chw=x_chw, boxes=boxes, probs=probs)
     nonzero = (probs > 0).sum()
     print(f"{name}: {n} boxes, {nonzero} surviving probs")
+
+
+def gen_detect_tree_case(oracle_detect: str, thresh: float = 0.2,
+                         nms: float = 0.4, seed: int = 0):
+    """Tree-WITHOUT-map decode golden (get_region_boxes' no-map branch,
+    region_layer.c:357-366): probs are the deepest-confident hierarchy
+    path probability, gated on objectness > thresh — not obj*prob."""
+    name = "detect_tree_nomap"
+    with tempfile.TemporaryDirectory() as td:
+        td = pathlib.Path(td)
+        tree_path = td / "mini.tree"
+        tree_path.write_text(TREE_TEXT)
+        cfg_text = TRAIN_TREE_REGION.replace("{TREE}", str(tree_path))
+        net = S.build_network_spec(parse_cfg_text(cfg_text))
+        params = init_params(net, seed=seed)
+        rng = np.random.default_rng(seed + 5000)
+        x_chw = rng.uniform(0, 1, (net.net.c, net.net.h, net.net.w)
+                            ).astype(np.float32)
+        region = net.layers[-1]
+        n = region.h * region.w * region.n
+        save_weights(net, params, str(td / "w.weights"))
+        (td / "net.cfg").write_text(cfg_text)
+        (td / "in.bin").write_bytes(x_chw.tobytes())
+        subprocess.run(
+            [oracle_detect, str(td / "net.cfg"), str(td / "w.weights"),
+             str(td / "in.bin"), str(td / "boxes.bin"),
+             str(td / "probs.bin"), str(thresh), str(nms)],
+            check=True, capture_output=True)
+        boxes = np.frombuffer((td / "boxes.bin").read_bytes(),
+                              dtype="<f4").reshape(n, 4).copy()
+        probs = np.frombuffer((td / "probs.bin").read_bytes(),
+                              dtype="<f4").reshape(n, region.classes).copy()
+    np.savez_compressed(
+        GOLDEN / name,
+        cfg=np.frombuffer(TRAIN_TREE_REGION.encode(), dtype=np.uint8),
+        tree=np.frombuffer(TREE_TEXT.encode(), dtype=np.uint8),
+        seed=np.int64(seed), thresh=np.float32(thresh),
+        nms=np.float32(nms), input_chw=x_chw, boxes=boxes, probs=probs)
+    print(f"{name}: {n} boxes, {(probs > 0).sum()} surviving probs")
+
+
+# ---------------------------------------------------------------------------
+# mAP-parity A/B golden (BASELINE.md accuracy gate): train a small
+# detector on a synthetic set, run the reference's validate_detector
+# loop (via oracle_valid) on it, store weights + oracle det files.
+# ---------------------------------------------------------------------------
+
+MAP_AB_CFG = """
+[net]
+batch=8
+subdivisions=1
+height=96
+width=96
+channels=3
+momentum=0.9
+decay=0.0005
+learning_rate=0.001
+max_batches=10000
+policy=steps
+steps=500,800
+scales=.2,.2
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=64
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+filters=40
+size=1
+stride=1
+pad=1
+activation=linear
+
+[region]
+anchors=2.2,2.2, 3.6,2.8, 2.8,3.6, 4.8,4.8, 3.2,3.2
+bias_match=1
+classes=3
+coords=4
+num=5
+softmax=1
+rescore=1
+object_scale=5
+noobject_scale=1
+class_scale=1
+coord_scale=1
+thresh=.6
+"""
+
+MAP_AB_SEED = 7
+MAP_AB_IMAGES = 24
+MAP_AB_THRESH = 0.005
+MAP_AB_NMS = 0.45
+
+
+def _map_ab_batches(gt, list_path, net_w, net_h, batch, steps, seed):
+    """Deterministic training batches from the synthetic set."""
+    from sr_object_detection_tpu.ops.image import (load_image_rgb,
+                                                   resize_image_np)
+    paths = [l.strip() for l in open(list_path) if l.strip()]
+    cache = {}
+    for p in paths:
+        img = load_image_rgb(p)
+        cache[p] = resize_image_np(img, net_w, net_h)
+    rng = np.random.default_rng(seed + 77)
+    for _ in range(steps):
+        idx = rng.integers(0, len(paths), batch)
+        x = np.stack([cache[paths[i]] for i in idx])
+        truth = np.zeros((batch, 30, 5), np.float32)
+        for bi, i in enumerate(idx):
+            image_id = pathlib.Path(paths[i]).stem
+            t = gt[image_id][0]
+            truth[bi, :len(t)] = t
+        yield x.astype(np.float32), truth
+
+
+def train_map_ab_weights(list_path, gt, steps: int = 400):
+    """Train the small detector with OUR trainer (the weights only need
+    to be *some* fixed weights; both sides then run them)."""
+    from sr_object_detection_tpu.train.trainer import Trainer
+    net = S.build_network_spec(parse_cfg_text(MAP_AB_CFG))
+    trainer = Trainer(net, seed=MAP_AB_SEED)
+    for k, (x, truth) in enumerate(_map_ab_batches(
+            gt, list_path, net.net.w, net.net.h, net.net.batch, steps,
+            MAP_AB_SEED)):
+        m = trainer.step(x, truth)
+        if (k + 1) % 100 == 0:
+            print(f"  map_ab train {k+1}/{steps} loss={float(m['loss']):.3f}")
+    import jax
+    params = jax.tree.map(np.asarray, trainer.state.params)
+    return net, params
+
+
+def gen_map_ab(oracle_valid: str = "/tmp/refbuild/oracle_valid",
+               steps: int = 400):
+    from tools.synth_dataset import (make_dataset, gt_corner_boxes,
+                                     dataset_digest, N_CLASSES)
+    from sr_object_detection_tpu.eval.voc import mean_ap
+
+    name = "map_ab"
+    with tempfile.TemporaryDirectory() as td:
+        td = pathlib.Path(td)
+        data_dir = td / "data"
+        list_path, gt = make_dataset(str(data_dir), MAP_AB_IMAGES,
+                                     MAP_AB_SEED)
+        digest = dataset_digest(str(data_dir))
+        net, params = train_map_ab_weights(list_path, gt, steps)
+        save_weights(net, params, str(td / "w.weights"))
+        (td / "net.cfg").write_text(MAP_AB_CFG)
+        results = td / "results"
+        results.mkdir()
+        subprocess.run(
+            [oracle_valid, str(td / "net.cfg"), str(td / "w.weights"),
+             list_path, str(results), str(MAP_AB_THRESH),
+             str(MAP_AB_NMS)],
+            check=True, capture_output=True)
+        det_texts = {}
+        per_class_dets = {}
+        for c in range(N_CLASSES):
+            text = (results / f"comp4_det_test_{c}.txt").read_text()
+            det_texts[c] = text
+            dets = []
+            for line in text.splitlines():
+                f = line.split()
+                dets.append((f[0], float(f[1]), float(f[2]), float(f[3]),
+                             float(f[4]), float(f[5])))
+            per_class_dets[c] = dets
+        oracle_map, aps = mean_ap(per_class_dets, gt_corner_boxes(gt))
+        wbytes = (td / "w.weights").read_bytes()
+
+    np.savez_compressed(
+        GOLDEN / name,
+        cfg=np.frombuffer(MAP_AB_CFG.encode(), dtype=np.uint8),
+        weights=np.frombuffer(wbytes, dtype=np.uint8),
+        digest=np.frombuffer(digest.encode(), dtype=np.uint8),
+        n_images=np.int64(MAP_AB_IMAGES), seed=np.int64(MAP_AB_SEED),
+        thresh=np.float32(MAP_AB_THRESH), nms=np.float32(MAP_AB_NMS),
+        oracle_map=np.float64(oracle_map),
+        **{f"dets_{c}": np.frombuffer(t.encode(), dtype=np.uint8)
+           for c, t in det_texts.items()})
+    print(f"{name}: oracle mAP={oracle_map:.4f} per-class={aps}")
 
 
 MINI_LOCAL = """
