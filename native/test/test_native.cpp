@@ -2,6 +2,7 @@
 // `make check` (the sanitizer coverage the reference never had,
 // SURVEY §5.2).
 #include "sr_robot.h"
+#include "sr_detector.h"
 
 #include <cassert>
 #include <cmath>
@@ -81,6 +82,54 @@ int main() {
     sr_tracks_update(s, m2, 1, 100, 100);
     assert(m2[0].body_id == id1);
     sr_tracks_destroy(s);
+
+    // --- srDetector (yolo_v2_class.hpp analog), callback backend ---
+    // fake network: 3 grid boxes, 2 classes; boxes 0 and 1 overlap
+    // heavily with box 0 stronger -> NMS must zero box 1's class-0
+    // prob; box 2 is a clean class-1 hit.
+    auto fake_infer = [](void *, const float *, int, int, int,
+                         float *boxes, float *probs) -> int {
+        const float bx[12] = {0.50f, 0.50f, 0.20f, 0.20f,
+                              0.52f, 0.50f, 0.20f, 0.20f,
+                              0.20f, 0.20f, 0.10f, 0.10f};
+        const float pr[6] = {0.9f, 0.0f,
+                             0.6f, 0.0f,
+                             0.0f, 0.8f};
+        for (int i = 0; i < 12; ++i) boxes[i] = bx[i];
+        for (int i = 0; i < 6; ++i) probs[i] = pr[i];
+        return 0;
+    };
+    srDetector *dd = sr_detector_create(3, 2, 416, 416, fake_infer,
+                                        nullptr);
+    assert(dd);
+    std::vector<float> img(64 * 64 * 3, 0.5f);
+    srBBox bb[8];
+    int nb = sr_detector_detect(dd, img.data(), 64, 64, 3, 0.24f, 0.4f,
+                                bb, 8);
+    assert(nb == 2);                       // box 1 suppressed by NMS
+    assert(bb[0].obj_id == 0 && std::fabs(bb[0].prob - 0.9f) < 1e-6f);
+    assert(bb[1].obj_id == 1);
+    // pixel conversion: x = max(0, (cx - w/2) * im_w)
+    assert(std::fabs(bb[0].x - (0.5f - 0.1f) * 64) < 1e-4f);
+    assert(std::fabs(bb[0].w - 0.2f * 64) < 1e-4f);
+
+    // tracking deque semantics: first call seeds per-class ids from 1;
+    // second call matches by center distance (<100px) and keeps ids;
+    // a far-away new object gets a fresh id.
+    int nt = sr_detector_tracking(dd, bb, nb, 6);
+    assert(nt == 2);
+    assert(bb[0].track_id == 1 && bb[1].track_id == 1); // per-class
+    srBBox next[3] = {bb[0], bb[1], bb[0]};
+    next[0].x += 5;                        // same object, moved 5px
+    next[0].track_id = 0;
+    next[1].track_id = 0;
+    next[2].x += 300; next[2].y += 300;    // new far object, class 0
+    next[2].track_id = 0;
+    sr_detector_tracking(dd, next, 3, 6);
+    assert(next[0].track_id == 1);         // matched old id
+    assert(next[1].track_id == 1);         // class-1 object keeps id
+    assert(next[2].track_id == 2);         // fresh class-0 id
+    sr_detector_destroy(dd);
 
     printf("native tests OK\n");
     return 0;

@@ -1,0 +1,79 @@
+"""Binary inference worker for the native C++ detection API.
+
+Speaks the sr_detector pipe protocol (native/src/detector_api.cpp):
+
+  handshake (worker -> host):  int32 magic 0x53524456, net_w, net_h,
+                               n_boxes, classes
+  request  (host -> worker):   int32 w, h, c  (w==0 -> exit),
+                               then w*h*c float32 HWC RGB [0,1]
+  response (worker -> host):   n_boxes*4 float32 decoded boxes
+                               (cx,cy,w,h relative) then
+                               n_boxes*classes float32 probs
+                               (objectness x class, unthresholded)
+
+The host side (a pure C++ application) then does thresholding, NMS and
+tracking natively — the process-boundary analog of the reference's
+in-process yolo_v2_class DLL (yolo_v2_class.cpp:173-304).
+
+Usage: python -m sr_object_detection_tpu.infer.serve <cfg> <weights>
+       [--cpu]
+"""
+
+from __future__ import annotations
+
+import struct
+import sys
+
+
+MAGIC = 0x53524456
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    use_cpu = "--cpu" in argv
+    if use_cpu:
+        argv.remove("--cpu")
+    if len(argv) < 2:
+        print(__doc__, file=sys.stderr)
+        return 1
+    cfg_path, weights_path = argv[0], argv[1]
+
+    import jax
+    if use_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .detector import Detector
+
+    det = Detector(cfg_path, weights_path)
+    r = det.region
+    n_boxes = r.h * r.w * r.n
+
+    out = sys.stdout.buffer
+    inp = sys.stdin.buffer
+    out.write(struct.pack("<5i", MAGIC, det.spec.net.w, det.spec.net.h,
+                          n_boxes, r.classes))
+    out.flush()
+
+    while True:
+        hdr = inp.read(12)
+        if len(hdr) < 12:
+            return 0
+        w, h, c = struct.unpack("<3i", hdr)
+        if w <= 0:
+            return 0
+        n = w * h * c
+        buf = inp.read(4 * n)
+        if len(buf) < 4 * n:
+            return 0
+        img = np.frombuffer(buf, "<f4").reshape(h, w, c)
+        x = det.preprocess(img)[None]
+        boxes, probs = det.predict_batch(jnp.asarray(x))
+        out.write(np.asarray(boxes[0], "<f4").tobytes())
+        out.write(np.asarray(probs[0], "<f4").tobytes())
+        out.flush()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
