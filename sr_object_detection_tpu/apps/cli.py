@@ -373,12 +373,27 @@ COMMANDS = {
 }
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: first jit of a big cfg costs tens
+    of seconds to minutes; cached reruns start in ~1s. Same cache dir
+    bench.py uses."""
+    import os
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in COMMANDS:
         print("usage: sr-detect <command> ...", file=sys.stderr)
         print("commands:", ", ".join(sorted(COMMANDS)), file=sys.stderr)
         return 2
+    _enable_compile_cache()
     cmd = argv.pop(0)
     COMMANDS[cmd](argv)
     return 0

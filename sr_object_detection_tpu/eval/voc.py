@@ -167,6 +167,19 @@ def coco_det_records(image_id: int, boxes: np.ndarray, probs: np.ndarray,
     return recs
 
 
+def _iou_centers_pairwise(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """IoU matrix (len(a), len(b)) for center-format (x,y,w,h) boxes —
+    box_iou (box.c:135) math in pure numpy."""
+    a = a[:, None, :]
+    b = b[None, :, :]
+    lo = np.maximum(a[..., :2] - a[..., 2:] / 2, b[..., :2] - b[..., 2:] / 2)
+    hi = np.minimum(a[..., :2] + a[..., 2:] / 2, b[..., :2] + b[..., 2:] / 2)
+    wh = np.clip(hi - lo, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    union = (a[..., 2] * a[..., 3] + b[..., 2] * b[..., 3] - inter)
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
 def proposal_recall(all_boxes: Sequence[np.ndarray],
                     all_obj: Sequence[np.ndarray],
                     all_gt: Sequence[np.ndarray],
@@ -175,24 +188,24 @@ def proposal_recall(all_boxes: Sequence[np.ndarray],
     """validate_detector_recall (detector.c:371-450): proposals above
     `thresh` objectness; a GT counts as recalled if its best-IoU
     proposal exceeds iou_thresh. boxes/gt are center-relative (N,4)."""
-    from ..ops.boxes import box_iou
-    import jax.numpy as jnp
-
     total = correct = proposals = 0
     iou_sum = 0.0
     for boxes, obj, gts in zip(all_boxes, all_obj, all_gt):
-        keep = obj > thresh
+        keep = np.asarray(obj) > thresh
         proposals += int(keep.sum())
-        for g in gts:
-            total += 1
-            if not keep.any():
-                continue
-            ious = np.asarray(box_iou(jnp.asarray(boxes[keep]),
-                                      jnp.asarray(g)[None, :]))
-            best = float(ious.max()) if ious.size else 0.0
-            iou_sum += best
-            if best > iou_thresh:
-                correct += 1
+        if len(gts) == 0:
+            continue
+        total += len(gts)
+        kept = np.asarray(boxes)[keep]
+        if len(kept) == 0:
+            continue
+        # vectorized all-pairs IoU (proposals x GTs) in one shot — the
+        # per-GT jit dispatch this replaces was pathological over
+        # thousands of images
+        ious = _iou_centers_pairwise(kept, np.asarray(gts))
+        best = ious.max(axis=0)                      # (n_gt,)
+        iou_sum += float(best.sum())
+        correct += int((best > iou_thresh).sum())
     return {
         "recall": correct / max(total, 1),
         "avg_iou": iou_sum / max(total, 1),
