@@ -289,6 +289,93 @@ def _rand_uniform(rng: np.random.Generator, lo, hi, n) -> np.ndarray:
     return rng.uniform(lo, hi, size=n).astype(np.float32)
 
 
+def fast_init_params(net: S.NetworkSpec, seed: int = 0) -> list[dict]:
+    """Structure-identical to init_params but float32-native RNG — NOT
+    darknet-RNG-exact (goldens must keep init_params). For big models
+    (yolo9000: ~50M params) the exact path's float64 uniform + astype +
+    copy costs minutes on a throttled host; this is a single f32 pass.
+    """
+    rng = np.random.default_rng(seed)
+    params: list[dict] = []
+
+    def fill(p):
+        out = {}
+        for k, v in p.items():
+            if isinstance(v, dict):
+                out[k] = fill(v)
+            elif k in ("weights",):
+                out[k] = (0.05 * rng.standard_normal(
+                    v.shape, dtype=np.float32) if hasattr(v, "shape")
+                    else v)
+            else:
+                out[k] = v
+        return out
+
+    # build shapes from the exact initializer's structure per layer but
+    # without paying its RNG cost: zero-filled template via dtype-only
+    # allocation, then one fast f32 fill for weight tensors
+    template = _param_template(net)
+    for p in template:
+        params.append(fill(p) if p else p)
+    return params
+
+
+def _param_template(net: S.NetworkSpec) -> list[dict]:
+    """Zero-cost param skeleton: same keys/shapes as init_params, all
+    zeros/ones (no RNG)."""
+    z, o = np.zeros, np.ones
+
+    def conv(filters, c, size, bn):
+        p = {"weights": z((size, size, c, filters), np.float32),
+             "biases": z(filters, np.float32)}
+        if bn:
+            p["scales"] = o(filters, np.float32)
+            p["rolling_mean"] = z(filters, np.float32)
+            p["rolling_variance"] = o(filters, np.float32)
+        return p
+
+    def conn(inputs, outputs, bn):
+        p = {"weights": z((outputs, inputs), np.float32),
+             "biases": z(outputs, np.float32)}
+        if bn:
+            p["scales"] = o(outputs, np.float32)
+            p["rolling_mean"] = z(outputs, np.float32)
+            p["rolling_variance"] = o(outputs, np.float32)
+        return p
+
+    params: list[dict] = []
+    for l in net.layers:
+        if isinstance(l, S.ConvSpec):
+            params.append(conv(l.filters, l.c, l.size, l.batch_normalize))
+        elif isinstance(l, S.ConnectedSpec):
+            params.append(conn(l.inputs, l.output, l.batch_normalize))
+        elif isinstance(l, S.BatchNormSpec):
+            params.append({"scales": o(l.c, np.float32),
+                           "rolling_mean": z(l.c, np.float32),
+                           "rolling_variance": o(l.c, np.float32)})
+        elif isinstance(l, S.CRNNSpec):
+            params.append({name: conv(cout, cin, 3, l.batch_normalize)
+                           for name, (cin, cout)
+                           in _crnn_sublayer_dims(l).items()})
+        elif isinstance(l, S.RNNSpec):
+            params.append({name: conn(i, o_, l.batch_normalize)
+                           for name, (i, o_)
+                           in _rnn_sublayer_dims(l).items()})
+        elif isinstance(l, S.GRUSpec):
+            params.append({name: conn(i, o_, l.batch_normalize)
+                           for name, (i, o_)
+                           in _gru_sublayer_dims(l).items()})
+        elif isinstance(l, S.LocalSpec):
+            n = l.size * l.size * l.c * l.filters * l.out_w * l.out_h
+            params.append({"weights": z(n, np.float32),
+                           "biases": z(l.outputs, np.float32)})
+        elif isinstance(l, S.DeconvSpec):
+            params.append(conv(l.filters, l.c, l.size, False))
+        else:
+            params.append({})
+    return params
+
+
 def _init_conv(rng, *, filters, c, size, batch_normalize) -> dict:
     # convolutional_layer.c:207-208: scale = sqrt(2/(size*size*c)),
     # weights = scale * U(-1, 1)

@@ -46,9 +46,16 @@ def shard_params(mesh: Mesh, params, spec=None, *, tp_min_filters: int = 2048):
 
     Default: replicate everything. When the mesh has a nontrivial
     'model' axis, conv layers with >= tp_min_filters output channels
-    (e.g. yolo9000's 28269-filter head) get their weights/biases sharded
-    over 'model' along the output-channel axis — tensor parallelism for
-    the layers wide enough to pay for it.
+    get tensor parallelism:
+
+      * out-channels divisible by mp -> column-parallel: weights/biases
+        sharded over 'model' on the output-channel axis (no collective
+        in the layer; the sharding propagates to the activation).
+      * otherwise (e.g. yolo9000's 28269 = 3*(9418+5) head, which no
+        even mp divides) -> row-parallel: weights sharded over 'model'
+        on the INPUT-channel axis. XLA partitions the contraction and
+        inserts one psum over ICI for the (small) head output — the
+        standard fallback when the output dim doesn't tile.
     """
     mp = mesh.shape["model"]
 
@@ -61,9 +68,13 @@ def shard_params(mesh: Mesh, params, spec=None, *, tp_min_filters: int = 2048):
                 continue
             sh = replicated(mesh)
             if mp > 1 and hasattr(v, "ndim"):
-                if v.ndim == 4 and v.shape[-1] >= tp_min_filters \
-                        and v.shape[-1] % mp == 0:
-                    sh = NamedSharding(mesh, P(None, None, None, "model"))
+                if v.ndim == 4 and v.shape[-1] >= tp_min_filters:
+                    if v.shape[-1] % mp == 0:
+                        sh = NamedSharding(mesh,
+                                           P(None, None, None, "model"))
+                    elif v.shape[-2] % mp == 0:
+                        sh = NamedSharding(mesh,
+                                           P(None, None, "model", None))
                 elif v.ndim == 1 and v.shape[0] >= tp_min_filters \
                         and v.shape[0] % mp == 0:
                     sh = NamedSharding(mesh, P("model"))

@@ -46,13 +46,21 @@ class TreeInfo:
     so the per-truth masks become vectorized gathers/compares.
     """
 
-    def __init__(self, tree):
+    def __init__(self, tree, *, max_depth: int = 64):
         parent = np.asarray(tree.parent)
         group = np.asarray(tree.group)
         c = parent.shape[0]
-        chain = [np.arange(c)]
+        # Out-of-range / forward / self parent pointers occur in the
+        # wild: the reference repo's shipped 9k.tree is NUL-truncated
+        # (8714 of 9418 lines survive, leaving parents that point past
+        # the end or at themselves). The C reference would spin forever
+        # in delta_region_class's parent walk; we cut such edges and
+        # cap the walk depth (real WordTree depth is ~20).
+        idx = np.arange(c)
+        parent = np.where((parent >= idx) | (parent < -1), -1, parent)
+        chain = [idx]
         cur = parent.copy()
-        while (cur >= 0).any():
+        while (cur >= 0).any() and len(chain) < max_depth:
             chain.append(np.where(cur >= 0, cur, chain[-1]))
             cur = np.where(cur >= 0, parent[np.maximum(cur, 0)], -1)
         self.chain = np.stack(chain, axis=1)              # (C, D)

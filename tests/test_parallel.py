@@ -58,6 +58,102 @@ def test_dp_training_matches_single_device():
     assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-3
 
 
+def test_tp_yolo9000_head_forward_mp2():
+    """TP at the real target scale (parallel/mesh.py's stated
+    motivation): full yolo9000 with the 28269-filter head
+    (cfg/yolo9000.cfg:217-260) on an 8-device (data x model) mesh,
+    mp=2. 28269 = 3*(9418+5) is odd, so the head shards ROW-parallel
+    (input channels, psum over 'model'); forward must equal mp=1."""
+    from sr_object_detection_tpu.graph.compiler import build_forward
+    from sr_object_detection_tpu.io.weights import fast_init_params
+    from sr_object_detection_tpu.models.zoo import yolo9000
+
+    tree = "/root/reference/cfg/9k.tree"
+    import os
+    if not os.path.exists(tree):
+        pytest.skip("9k.tree not available")
+    spec = yolo9000(width=64, height=64, batch=4, tree_file=tree,
+                    map_file=None)
+    params = fast_init_params(spec, seed=0)
+    head_idx = max((i for i, l in enumerate(spec.layers)
+                    if l.kind == "conv"),
+                   key=lambda i: spec.layers[i].filters)
+    assert spec.layers[head_idx].filters == 28269
+
+    fwd = build_forward(spec)
+    x = np.random.default_rng(0).random((4, 64, 64, 3)).astype(np.float32)
+    ref, _ = jax.jit(lambda p, x: fwd(p, x))(params, x)
+    ref = np.asarray(ref)
+
+    mesh = make_mesh(8, model_parallel=2)
+    sharded = shard_params(mesh, jax.tree.map(jnp.asarray, params), spec)
+    sh = sharded[head_idx]["weights"].sharding
+    assert sh.spec == jax.sharding.PartitionSpec(None, None, "model",
+                                                 None)
+    with mesh:
+        got, _ = jax.jit(lambda p, x: fwd(p, x))(sharded, x)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_2d_mesh_training_step_with_9k_head():
+    """One 2D (data x model) training step at the real head width: the
+    28269-filter conv + region layer with the real 9418-class WordTree,
+    dp=4 x mp=2 — finite loss and parameters equal to the unsharded
+    step (per-step sync DP + TP change no math). Trunk kept compact so
+    the test fits this host's memory bandwidth."""
+    import os
+    tree = "/root/reference/cfg/9k.tree"
+    if not os.path.exists(tree):
+        pytest.skip("9k.tree not available")
+    from sr_object_detection_tpu.io.weights import fast_init_params
+
+    def build():
+        b = CfgBuilder()
+        b.net(batch=4, subdivisions=1, width=32, height=32, channels=3,
+              learning_rate=1e-5, momentum=0.9, decay=0.0005,
+              policy="constant", max_batches=100)
+        b.conv(32, size=3, stride=2)
+        b.maxpool()
+        b.conv(1024, size=3, stride=2)
+        b.conv(28269, size=1, bn=False, act="linear", pad=1)
+        b.section("region", anchors=(0.8, 0.8, 2.0, 2.0, 4.8, 4.8),
+                  bias_match=1, classes=9418, coords=4, num=3, softmax=1,
+                  rescore=1, object_scale=5, noobject_scale=1,
+                  class_scale=1, coord_scale=1, thresh=.6, tree=tree)
+        return b.build()
+
+    rng = np.random.default_rng(0)
+    x = rng.random((4, 32, 32, 3)).astype(np.float32)
+    t = np.zeros((4, 30, 5), np.float32)
+    t[:, 0] = [0.5, 0.5, 0.4, 0.4, 123]
+
+    spec = build()
+    params = fast_init_params(spec, seed=0)
+    single = Trainer(spec, params=params, seed=0)
+    m1 = single.step(x, t)
+    assert np.isfinite(float(m1["loss"]))
+
+    mesh = make_mesh(8, model_parallel=2)
+    sharded_tr = Trainer(build(), params=fast_init_params(spec, seed=0),
+                         seed=0, mesh=mesh)
+    # the head must actually be TP-sharded in the train state
+    head_idx = 3
+    assert "model" in str(
+        sharded_tr.state.params[head_idx]["weights"].sharding.spec)
+    with mesh:
+        m2 = sharded_tr.step(x, t)
+    assert np.isfinite(float(m2["loss"]))
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-2 * max(
+        1.0, abs(float(m1["loss"])))
+
+    p1 = jax.tree.map(np.asarray, single.state.params)
+    p2 = jax.tree.map(np.asarray, sharded_tr.state.params)
+    for a, b in zip(p1, p2):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=3e-5, atol=3e-5)
+
+
 def test_tp_sharded_wide_conv_forward():
     """Tensor-parallel sharding of a wide conv's filters must preserve
     the forward result."""
