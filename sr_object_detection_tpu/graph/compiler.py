@@ -440,10 +440,15 @@ def _local_forward(x, params, l: S.LocalSpec):
 
 
 def _deconv_forward(x, params, l: S.DeconvSpec):
-    """Transpose conv (deconvolutional_layer.c): out = s*(in-1)+size."""
+    """Transpose conv (deconvolutional_layer.c): out = s*(in-1)+size.
+
+    The reference's col2im scatter indexes the kernel UNFLIPPED
+    (out[y*s+ki, x*s+kj] += x[y,x]·W[:, :, ki, kj]), which equals
+    lax.conv_transpose with spatially flipped weights (pinned by the
+    mini_deconv golden from the layer-level oracle driver)."""
     y = jax.lax.conv_transpose(
-        x, params["weights"], (l.stride, l.stride), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        x, params["weights"][::-1, ::-1], (l.stride, l.stride),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     y = y + params["biases"]
     return A.get_activation(l.activation)(y)

@@ -185,6 +185,17 @@ def load_weights(net: S.NetworkSpec, path: str, cutoff: int | None = None):
                     "biases": r.floats(l.outputs),
                     "weights": r.floats(size),
                 }
+            elif isinstance(l, S.DeconvSpec):
+                # our own format (see save_weights): biases then
+                # weights in (c, n, size, size) order -> HWIO
+                b = r.floats(l.filters)
+                w = r.floats(l.c * l.filters * l.size * l.size)
+                params[i] = {
+                    "biases": b,
+                    "weights": np.transpose(
+                        w.reshape(l.c, l.filters, l.size, l.size),
+                        (2, 3, 0, 1)).copy(),
+                }
     return params, seen
 
 
@@ -273,6 +284,14 @@ def save_weights(net: S.NetworkSpec, params: list[dict], path: str,
         elif isinstance(l, S.LocalSpec):
             chunks.append(np.asarray(p["biases"], np.float32))
             chunks.append(np.asarray(p["weights"], np.float32).ravel())
+        elif isinstance(l, S.DeconvSpec):
+            # no upstream format exists (parser.c never saves/loads
+            # DECONVOLUTIONAL); ours mirrors the conv convention with
+            # the layer's natural (c, n, size, size) weight order
+            chunks.append(np.asarray(p["biases"], np.float32))
+            chunks.append(np.transpose(
+                np.asarray(p["weights"], np.float32),
+                (2, 3, 0, 1)).ravel())
     with open(path, "wb") as f:
         f.write(struct.pack("<iii", 0, 1, 0))
         f.write(struct.pack("<i", int(seen) & 0x7FFFFFFF))

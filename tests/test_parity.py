@@ -21,7 +21,12 @@ from sr_object_detection_tpu.ops.layout import nhwc_to_flat
 GOLDEN = pathlib.Path(__file__).parent / "golden"
 
 MINI_CASES = ["mini_conv", "mini_route_reorg", "mini_region",
-              "mini_connected", "mini_lrn", "mini_crop"]
+              "mini_connected", "mini_lrn", "mini_crop",
+              # deconv/CRNN goldens come from the layer-level oracle
+              # driver (tools/oracle_drivers/oracle_layer.c) because
+              # the upstream cfg path can't run either layer (parser
+              # lacks deconv; CRNN forwards a NULL workspace)
+              "mini_deconv", "mini_crnn"]
 FULL_CASES = ["tiny_yolo_voc", "yolo_coco_416"]
 
 

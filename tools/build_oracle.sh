@@ -55,7 +55,7 @@ detection_layer.c softmax_layer.c tree.c box.c layer.c matrix.c data.c \
 image.c cuda.c"
 OBJS=$(for f in $SRCS; do echo "$BUILD/src/$f"; done)
 
-for drv in oracle oracle_train oracle_detect oracle_valid; do
+for drv in oracle oracle_train oracle_detect oracle_valid oracle_layer; do
     cp "$REPO/tools/oracle_drivers/${drv}.c" "$BUILD/${drv}.c"
     gcc -O2 -fcommon -w -I"$BUILD/src" -o "$BUILD/$drv" \
         "$BUILD/${drv}.c" $OBJS -lm -lpthread

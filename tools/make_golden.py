@@ -1053,6 +1053,106 @@ def gen_flat_case(name: str, cfg_text: str, oracle: str, seed: int = 0):
           f"[{out.min():.4f}, {out.max():.4f}]")
 
 
+DECONV_ONLY = """
+[net]
+batch=1
+height=8
+width=8
+channels=3
+
+[deconvolutional]
+filters=4
+size=4
+stride=2
+activation=logistic
+"""
+
+CRNN_ONLY = """
+[net]
+batch=1
+time_steps=1
+subdivisions=1
+height=8
+width=8
+channels=3
+
+[crnn]
+batch_normalize=0
+output_filters=6
+hidden_filters=5
+activation=leaky
+"""
+
+
+def gen_deconv_layer(oracle_layer: str = "/tmp/refbuild/oracle_layer",
+                     seed: int = 0):
+    """Layer-level deconv golden. The upstream cfg path can't build a
+    deconv (parser.c has no case; forward_network would call a NULL
+    l.forward) — the oracle_layer driver constructs the layer directly
+    via make_deconvolutional_layer."""
+    name = "mini_deconv"
+    net = S.build_network_spec(parse_cfg_text(DECONV_ONLY))
+    l = net.layers[0]
+    params = init_params(net, seed=seed)[0]
+    rng = np.random.default_rng(seed + 1000)
+    x_chw = rng.uniform(0, 1, (l.c, l.h, l.w)).astype(np.float32)
+    # C layout: weights (c, n, size, size); ours is (s, s, c, f)
+    w_c = np.transpose(params["weights"], (2, 3, 0, 1)).astype("<f4")
+    with tempfile.TemporaryDirectory() as td:
+        td = pathlib.Path(td)
+        (td / "in.bin").write_bytes(x_chw.tobytes())
+        (td / "p.bin").write_bytes(
+            w_c.tobytes() + params["biases"].astype("<f4").tobytes())
+        subprocess.run(
+            [oracle_layer, "deconv", str(l.h), str(l.w), str(l.c),
+             str(l.filters), str(l.size), str(l.stride), l.activation,
+             str(td / "in.bin"), str(td / "p.bin"), str(td / "out.bin")],
+            check=True, capture_output=True)
+        out = np.frombuffer((td / "out.bin").read_bytes(), "<f4").copy()
+    np.savez_compressed(
+        GOLDEN / name,
+        cfg=np.frombuffer(DECONV_ONLY.encode(), dtype=np.uint8),
+        seed=np.int64(seed), input_chw=x_chw, output=out)
+    print(f"{name}: out[{out.shape[0]}] range "
+          f"[{out.min():.4f}, {out.max():.4f}]")
+
+
+def gen_crnn_layer(oracle_layer: str = "/tmp/refbuild/oracle_layer",
+                   seed: int = 0):
+    """Layer-level CRNN golden. Upstream forward_crnn_layer passes a
+    NULL workspace to its sub-convolutions (crnn_layer.c:91 s={0}) and
+    segfaults; the driver replicates the step loop with a real
+    workspace so the pinned math is the reference's own."""
+    name = "mini_crnn"
+    net = S.build_network_spec(parse_cfg_text(CRNN_ONLY))
+    l = net.layers[0]
+    params = init_params(net, seed=seed)[0]
+    rng = np.random.default_rng(seed + 1000)
+    x_chw = rng.uniform(0, 1, (l.c, l.h, l.w)).astype(np.float32)
+    blob = b""
+    for sub in ("input", "self", "output"):
+        p = params[sub]
+        blob += np.transpose(p["weights"], (3, 2, 0, 1)).astype(
+            "<f4").tobytes()
+        blob += p["biases"].astype("<f4").tobytes()
+    with tempfile.TemporaryDirectory() as td:
+        td = pathlib.Path(td)
+        (td / "in.bin").write_bytes(x_chw.tobytes())
+        (td / "p.bin").write_bytes(blob)
+        subprocess.run(
+            [oracle_layer, "crnn", str(l.h), str(l.w), str(l.c),
+             str(l.hidden_filters), str(l.output_filters), l.activation,
+             str(td / "in.bin"), str(td / "p.bin"), str(td / "out.bin")],
+            check=True, capture_output=True)
+        out = np.frombuffer((td / "out.bin").read_bytes(), "<f4").copy()
+    np.savez_compressed(
+        GOLDEN / name,
+        cfg=np.frombuffer(CRNN_ONLY.encode(), dtype=np.uint8),
+        seed=np.int64(seed), input_chw=x_chw, output=out)
+    print(f"{name}: out[{out.shape[0]}] range "
+          f"[{out.min():.4f}, {out.max():.4f}]")
+
+
 MINI_CRNN = """
 [net]
 batch=1
