@@ -38,24 +38,31 @@ def main():
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     print(f"analytic FLOPs/img: {flops/1e9:.2f} G", file=sys.stderr)
 
+    from sr_object_detection_tpu.utils.profiler import TPU_PEAK_FLOPS
+    PEAK = TPU_PEAK_FLOPS["v5e"]   # 197e12 bf16 (394 is the int8 number)
+
     eng = ThroughputEngine(spec, params, batch=batch, dtype=jnp.bfloat16)
     t0 = time.perf_counter()
     eng.warmup()
     print(f"compile+warmup: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     r = eng.benchmark(iters=30)
     ips = r["images_per_sec"]
-    mfu_denom = 394e12  # v5e bf16 peak FLOPs/s
     print(f"throughput: {ips:.0f} img/s (batch {batch}), "
           f"{ips*flops/1e12:.1f} TFLOP/s, "
-          f"~{100*ips*flops/mfu_denom:.0f}% of v5e bf16 peak",
+          f"MFU {100*ips*flops/PEAK:.0f}% of v5e bf16 peak",
           file=sys.stderr)
 
     try:
         lat = LatencyEngine(spec, params, dtype=jnp.bfloat16)
         lat.warmup()
         lr = lat.benchmark(iters=50)
-        print(f"batch-1 latency p50={lr['p50_ms']:.2f}ms "
-              f"p99={lr['p99_ms']:.2f}ms", file=sys.stderr)
+        dr = lat.device_benchmark(reps=200)
+        print(f"batch-1 latency: tunnel-wall p50={lr['p50_ms']:.2f}ms "
+              f"p99={lr['p99_ms']:.2f}ms; on-device "
+              f"{dr['device_ms_per_frame']:.3f}ms/frame "
+              f"(in-graph x{dr['reps']} repeat — the engine number; "
+              f"wall times above are dominated by tunnel RTT)",
+              file=sys.stderr)
     except Exception as e:  # latency path must not sink the headline
         print(f"latency bench skipped: {e}", file=sys.stderr)
 
@@ -74,36 +81,56 @@ def main():
     except Exception as e:
         print(f"yolov2-608 bench skipped: {e}", file=sys.stderr)
 
-    try:
+    def train_bench(mkspec, label, batch_t, *, iters=5, remat=False,
+                    fast_init=False):
         import dataclasses
         from sr_object_detection_tpu.train.trainer import (
             make_train_step, TrainState)
         from sr_object_detection_tpu.train.sgd import init_velocity
+        from sr_object_detection_tpu.utils.profiler import train_flops
+        from sr_object_detection_tpu.io.weights import fast_init_params
+        base = mkspec()
         tspec = dataclasses.replace(
-            spec, net=dataclasses.replace(spec.net, batch=32,
+            base, net=dataclasses.replace(base.net, batch=batch_t,
                                           subdivisions=1))
-        tparams = jax.tree.map(jnp.asarray, init_params(tspec, seed=0))
-        state = TrainState(tparams, init_velocity(tparams),
-                           jnp.asarray(0))
-        tstep = jax.jit(make_train_step(tspec, compute_dtype=jnp.bfloat16),
-                        donate_argnums=(0,))
+        ip = fast_init_params if fast_init else init_params
+        tparams = jax.tree.map(jnp.asarray, ip(tspec, seed=0))
+        state = TrainState(tparams, init_velocity(tparams), jnp.asarray(0))
+        tstep = jax.jit(
+            make_train_step(tspec, compute_dtype=jnp.bfloat16, remat=remat),
+            donate_argnums=(0,))
         xt = jnp.asarray(np.random.uniform(
-            0, 1, (32, 416, 416, 3)).astype(np.float32))
-        tt = np.zeros((32, 30, 5), np.float32)
+            0, 1, (batch_t, tspec.net.h, tspec.net.w, 3)).astype(np.float32))
+        tt = np.zeros((batch_t, 30, 5), np.float32)
         tt[:, 0] = [0.5, 0.5, 0.3, 0.3, 1]
         tt = jnp.asarray(tt)
         rngk = jax.random.PRNGKey(0)
         state, m = tstep(state, xt, tt, rngk)
         float(m["loss"])
         t0 = time.perf_counter()
-        for _ in range(5):
+        for _ in range(iters):
             state, m = tstep(state, xt, tt, rngk)
         float(m["loss"])
-        dt = (time.perf_counter() - t0) / 5
-        print(f"training (bf16 region loss, batch 32): {32/dt:.0f} img/s",
-              file=sys.stderr)
+        dt = (time.perf_counter() - t0) / iters
+        tf = train_flops(tspec)            # fwd + ~2x bwd per image
+        tput = batch_t / dt
+        print(f"training {label} (bf16, batch {batch_t}"
+              f"{', remat' if remat else ''}): {tput:.0f} img/s, "
+              f"{tput*tf/1e12:.1f} TFLOP/s, "
+              f"MFU {100*tput*tf/PEAK:.0f}%", file=sys.stderr)
+        return tput
+
+    try:
+        train_bench(tiny_yolo_voc, "tiny-yolo-416", 64)
     except Exception as e:
         print(f"training bench skipped: {e}", file=sys.stderr)
+
+    try:
+        from sr_object_detection_tpu.models.zoo import yolov2
+        train_bench(lambda: yolov2(width=608, height=608),
+                    "yolov2-608", 24, iters=3, fast_init=True)
+    except Exception as e:
+        print(f"yolov2-608 training bench skipped: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "tiny-yolo-voc-416 images/sec/chip",

@@ -253,6 +253,8 @@ class LatencyEngine:
             return out, None
 
         self._run = run
+        self._fwd = fwd
+        self._net = net
         h, w = frame_hw if frame_hw else (net.h, net.w)
         self.frame_shape = (h, w, net.c)
 
@@ -284,6 +286,35 @@ class LatencyEngine:
             "p99_ms": float(np.percentile(lat, 99) * 1e3),
             "mean_ms": float(lat.mean() * 1e3),
         }
+
+    def device_benchmark(self, reps: int = 200) -> dict:
+        """On-device batch-1 forward time, tunnel-free: `reps`
+        iterations chained INSIDE one compiled program (lax.scan with a
+        data dependency between iterations so nothing is hoisted), one
+        4-byte readback. wall/reps ≈ device time per frame — the number
+        the tunnel-RTT-dominated benchmark() cannot see."""
+        fwd, net, dtype = self._fwd, self._net, self.dtype
+        params = self.params
+
+        @jax.jit
+        def rep(params, x):
+            def body(carry, _):
+                out, _ = fwd(params, carry)
+                # tiny data-dependent feedback: serializes iterations
+                # without changing the math measurably
+                eps = (jnp.min(jnp.abs(out.astype(jnp.float32)))
+                       * jnp.float32(1e-30)).astype(carry.dtype)
+                return carry + eps, ()
+            y, _ = jax.lax.scan(body, x, None, length=reps)
+            return jnp.sum(y.astype(jnp.float32))
+
+        x = jnp.asarray(np.random.uniform(
+            0, 1, (1, net.h, net.w, net.c)).astype(np.float32), dtype)
+        float(rep(params, x))          # compile + warm
+        t0 = time.perf_counter()
+        float(rep(params, x))          # one dispatch, reps forwards
+        dt = time.perf_counter() - t0
+        return {"device_ms_per_frame": dt / reps * 1e3, "reps": reps}
 
 
 def analytic_flops(spec: S.NetworkSpec) -> float:

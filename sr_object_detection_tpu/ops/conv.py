@@ -180,10 +180,15 @@ def conv_block(x, params, spec, activation_fn, *, train: bool = False,
                 params["rolling_variance"])
     y = y + params["biases"]
     y = activation_fn(y)
-    if compute_dtype is not None and not train:
+    if compute_dtype is not None:
         # store activations in the compute dtype: the cast fuses into the
         # conv epilogue and halves inter-layer HBM traffic (the fp32
-        # accumulate stays inside the MXU)
+        # accumulate stays inside the MXU). In train mode this also
+        # keeps the BACKWARD chain in the compute dtype — BN batch
+        # stats and rolling updates are computed above in f32 before
+        # the cast, but cotangents flow bf16 between layers (round-2
+        # profile: the f32 train graph ran at 13% MFU with f32
+        # elementwise fusions on 600px activations dominating).
         y = y.astype(compute_dtype)
     if train:
         return y, bn_updates

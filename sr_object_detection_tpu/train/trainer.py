@@ -105,11 +105,16 @@ def make_train_step(spec: S.NetworkSpec, *, mesh=None,
         out, aux = _fwd_for_loss(params, x, truth, rng)
         if head_kind == "region":
             raw = aux["outputs"][head_idx - 1]
-            raw = raw.reshape(raw.shape[0], -1)
+            # the delta-field loss is f32-exact; under bf16 training the
+            # head activations arrive bf16 — this cast's OWN backward
+            # converts the f32 -delta cotangent back to bf16, keeping
+            # the custom_vjp all-f32
+            raw = raw.reshape(raw.shape[0], -1).astype(jnp.float32)
             cost, stats = region_loss_ws(raw, truth, seen)
         elif head_kind == "detection":
             # yolov1 loss on the post-softmax detection output
             out_flat = out if out.ndim == 2 else out.reshape(out.shape[0], -1)
+            out_flat = out_flat.astype(jnp.float32)
             cost = detection_loss(out_flat, truth, seen, head)
             stats = {}
         elif head_kind == "cost":

@@ -25,10 +25,12 @@ from typing import Optional
 import jax
 
 
-# v5e bf16 peak; override per generation
+# bf16 peak FLOPs/s per chip. NB: v5e is 197 TFLOP/s bf16 — 394 is the
+# int8 number and was wrongly used here in round 1 (halving reported
+# MFU).
 TPU_PEAK_FLOPS = {
     "v4": 275e12,
-    "v5e": 394e12,
+    "v5e": 197e12,
     "v5p": 459e12,
     "v6e": 918e12,
 }
