@@ -44,6 +44,12 @@ class WeightsReader:
             raise EOFError(f"weights file truncated: wanted {n} floats")
         return np.frombuffer(buf, dtype="<f4").copy()
 
+    def read(self, n: int) -> bytes:
+        buf = self.f.read(n)
+        if len(buf) != n:
+            raise EOFError(f"weights file truncated: wanted {n} bytes")
+        return buf
+
 
 def _conv_from_darknet(w_flat: np.ndarray, spec) -> np.ndarray:
     """OIHW raster -> HWIO (for lax.conv NHWC/HWIO)."""
@@ -252,6 +258,59 @@ def _save_connected(out: list[np.ndarray], p: dict, batch_normalize: bool):
         out.append(np.asarray(p["scales"], np.float32))
         out.append(np.asarray(p["rolling_mean"], np.float32))
         out.append(np.asarray(p["rolling_variance"], np.float32))
+
+
+def pack_binary_conv(p: dict, spec, *, batch_normalize: bool) -> bytes:
+    """XNOR bit-packed conv weights
+    (save_convolutional_weights_binary, parser.c:737-766 — dead code
+    upstream, the call sites are commented out): biases [+ BN triple],
+    then per filter one f32 |mean| followed by size//8 bytes of sign
+    bits (bit k = weight > 0). QUIRK kept: the integer division drops
+    the trailing size%8 weights entirely — they are neither saved nor
+    restored."""
+    w = np.asarray(p["weights"], np.float32)           # HWIO
+    n = w.shape[-1]
+    size = w.shape[0] * w.shape[1] * w.shape[2]
+    flat = np.transpose(w, (3, 2, 0, 1)).reshape(n, size)  # (n, c*s*s)
+    mean = np.mean(np.abs(flat), axis=1).astype(np.float32)
+    out = [np.asarray(p["biases"], np.float32).tobytes()]
+    if batch_normalize:
+        for k in ("scales", "rolling_mean", "rolling_variance"):
+            out.append(np.asarray(p[k], np.float32).tobytes())
+    nbytes = size // 8
+    bits = (flat[:, :nbytes * 8] > 0).reshape(n, nbytes, 8)
+    packed = np.sum(bits.astype(np.uint8)
+                    << np.arange(8, dtype=np.uint8), axis=2,
+                    dtype=np.uint8)                    # LSB-first, :761
+    for i in range(n):
+        out.append(mean[i:i + 1].tobytes())
+        out.append(packed[i].tobytes())
+    return b"".join(out)
+
+
+def unpack_binary_conv(r: "WeightsReader", spec, *,
+                       batch_normalize: bool) -> dict:
+    """load_convolutional_weights_binary (parser.c:933-961): weights
+    reconstructed as ±mean per sign bit; the trailing size%8 weights
+    per filter are left at zero (the reference leaves them at whatever
+    init memory held)."""
+    n, c, size = spec.filters, spec.c, spec.size
+    p = {"biases": r.floats(n)}
+    if batch_normalize:
+        p["scales"] = r.floats(n)
+        p["rolling_mean"] = r.floats(n)
+        p["rolling_variance"] = r.floats(n)
+    ksize = size * size * c
+    nbytes = ksize // 8
+    flat = np.zeros((n, ksize), np.float32)
+    for i in range(n):
+        mean = r.floats(1)[0]
+        raw = np.frombuffer(r.read(nbytes), np.uint8)
+        bits = ((raw[:, None] >> np.arange(8)) & 1).astype(bool)
+        flat[i, :nbytes * 8] = np.where(bits.reshape(-1), mean, -mean)
+    p["weights"] = np.transpose(
+        flat.reshape(n, c, size, size), (2, 3, 1, 0)).copy()
+    return p
 
 
 def save_weights(net: S.NetworkSpec, params: list[dict], path: str,
@@ -484,4 +543,5 @@ def init_params(net: S.NetworkSpec, seed: int = 0) -> list[dict]:
     return params
 
 
-__all__ = ["load_weights", "save_weights", "init_params"]
+__all__ = ["load_weights", "save_weights", "init_params",
+           "fast_init_params", "pack_binary_conv", "unpack_binary_conv"]

@@ -103,6 +103,92 @@ def descriptor_size(cfg: HistogramConfig, n_joints: int = N_JOINTS) -> int:
             + cfg.orientations + 2)
 
 
+def scene_flow(prev_gray: np.ndarray, cur_gray: np.ndarray,
+               prev_depth: np.ndarray, cur_depth: np.ndarray,
+               *, block: int = 16, search: int = 4):
+    """Coarse RGB-D scene flow: per-block integer 2D motion (SAD block
+    matching) + depth change — (u, v, dz) on a (H//block, W//block)
+    grid.
+
+    The reference declares SceneFlow(Color_Prev, Color_Curr, Depth_Prev,
+    Depth_Curr, ...) but ships it as an EMPTY stub
+    (Process_Kinect.cpp:3876-3879); this is a working implementation of
+    the declared intent, dependency-free.
+    """
+    h = (prev_gray.shape[0] // block) * block
+    w = (prev_gray.shape[1] // block) * block
+    pg = prev_gray[:h, :w].astype(np.float32)
+    cg = cur_gray[:h, :w].astype(np.float32)
+    bh, bw = h // block, w // block
+
+    def blocks(a):
+        return a.reshape(bh, block, bw, block).transpose(0, 2, 1, 3)
+
+    pb = blocks(pg)                                # (bh, bw, B, B)
+    best = np.full((bh, bw), np.inf, np.float32)
+    u = np.zeros((bh, bw), np.float32)
+    v = np.zeros((bh, bw), np.float32)
+    for dy in range(-search, search + 1):
+        for dx in range(-search, search + 1):
+            shifted = np.roll(cg, (-dy, -dx), axis=(0, 1))
+            sad = np.abs(blocks(shifted) - pb).mean(axis=(2, 3))
+            better = sad < best
+            best = np.where(better, sad, best)
+            u = np.where(better, dx, u)
+            v = np.where(better, dy, v)
+
+    pd = prev_depth[:h, :w].astype(np.float32)
+    cd = cur_depth[:h, :w].astype(np.float32)
+    valid = (pd > 0) & (cd > 0)
+    dz_full = np.where(valid, cd - pd, 0.0)
+    dz = blocks(dz_full).mean(axis=(2, 3))
+    return u, v, dz
+
+
+def scene_flow_features(prev_rgb: np.ndarray, cur_rgb: np.ndarray,
+                        prev_depth: np.ndarray, cur_depth: np.ndarray,
+                        *, orientations: int = 8, block: int = 16,
+                        search: int = 4) -> np.ndarray:
+    """Fixed-length scene-flow descriptor (orientations + 3): motion
+    direction histogram weighted by magnitude, plus [moving fraction,
+    mean dz, std dz] — appended to the action histogram vector."""
+    pg = prev_rgb.mean(axis=2) if prev_rgb.ndim == 3 else prev_rgb
+    cg = cur_rgb.mean(axis=2) if cur_rgb.ndim == 3 else cur_rgb
+    u, v, dz = scene_flow(pg, cg, prev_depth, cur_depth,
+                          block=block, search=search)
+    mag = np.sqrt(u * u + v * v)
+    ang = np.arctan2(v, u)
+    obin = ((ang + np.pi) / (2 * np.pi) * orientations
+            ).astype(int) % orientations
+    hist = np.zeros(orientations, np.float32)
+    moving = mag > 0
+    np.add.at(hist, obin[moving], mag[moving])
+    s = hist.sum()
+    if s > 0:
+        hist /= s
+    stats = np.array([float(moving.mean()), float(dz.mean()),
+                      float(dz.std())], np.float32)
+    return np.concatenate([hist, stats]).astype(np.float32)
+
+
+SCENE_FLOW_DIM = 8 + 3
+
+
+def clip_features(joints: np.ndarray, rgbd_clip=None,
+                  cfg: HistogramConfig = HistogramConfig()) -> np.ndarray:
+    """Full clip descriptor: skeleton motion histograms plus (when an
+    RGB-D clip is provided) the mean scene-flow descriptor over
+    consecutive frame pairs."""
+    feat = motion_histograms(joints, cfg)
+    if rgbd_clip is not None and len(rgbd_clip) >= 2:
+        sf = np.mean([
+            scene_flow_features(rgbd_clip[i][0], rgbd_clip[i + 1][0],
+                                rgbd_clip[i][1], rgbd_clip[i + 1][1])
+            for i in range(len(rgbd_clip) - 1)], axis=0)
+        feat = np.concatenate([feat, sf.astype(np.float32)])
+    return feat
+
+
 class ELM:
     """Extreme learning machine: random hidden layer + ridge solve."""
 
@@ -155,28 +241,37 @@ class ActionRecognizer:
 
     def __init__(self, model: ELM, labels: list[str],
                  cfg: HistogramConfig = HistogramConfig(),
-                 min_frames: int = 8):
+                 min_frames: int = 8, use_scene_flow: bool = False):
         self.model = model
         self.labels = labels
         self.cfg = cfg
         self.min_frames = min_frames
+        self.use_scene_flow = use_scene_flow
         self.buffer: list[np.ndarray] = []
+        self.rgbd_buffer: list[tuple] = []
 
-    def push(self, joints: np.ndarray):
+    def push(self, joints: np.ndarray, rgb=None, depth=None):
         self.buffer.append(np.asarray(joints, np.float32))
+        if self.use_scene_flow and rgb is not None and depth is not None:
+            self.rgbd_buffer.append((np.asarray(rgb), np.asarray(depth)))
 
     def flush(self):
         """Classify the buffered clip; returns (label, score) or None."""
         if len(self.buffer) < self.min_frames:
             self.buffer.clear()
+            self.rgbd_buffer.clear()
             return None
         clip = np.stack(self.buffer)
-        self.buffer.clear()
-        feat = motion_histograms(clip, self.cfg)
+        rgbd = self.rgbd_buffer if (self.use_scene_flow
+                                    and len(self.rgbd_buffer) >= 2) else None
+        self.buffer = []
+        self.rgbd_buffer = []
+        feat = clip_features(clip, rgbd, self.cfg)
         scores = self.model.predict_scores(feat[None])[0]
         idx = int(scores.argmax())
         return self.labels[idx], float(scores[idx])
 
 
 __all__ = ["motion_histograms", "descriptor_size", "HistogramConfig",
-           "ELM", "ActionRecognizer", "N_JOINTS"]
+           "scene_flow", "scene_flow_features", "clip_features",
+           "SCENE_FLOW_DIM", "ELM", "ActionRecognizer", "N_JOINTS"]

@@ -90,6 +90,63 @@ _REPLIES = {
 }
 
 
+def heuristic_face_count(rgb_hwc: np.ndarray, *, min_frac: float = 0.002,
+                         max_frac: float = 0.25) -> int:
+    """Dependency-free face-count stand-in: skin-tone mask + connected
+    blobs of plausible size. The reference counts Haar-cascade hits and
+    uses ONLY the count (Process_Kinect.cpp detectFaces:1704-1725
+    returns faces.size(); the drawing code is commented out), so the
+    hook contract is an int count, not boxes."""
+    x = np.asarray(rgb_hwc, np.float32)
+    if x.max() > 1.5:
+        x = x / 255.0
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    skin = ((r > 0.35) & (r > g) & (g > b) & (r - b > 0.1)
+            & (r - g > 0.02))
+    # 4-connected blob count via two-pass flood on a coarse grid
+    mask = skin[::4, ::4]
+    lab = np.zeros(mask.shape, np.int32)
+    cur = 0
+    stack = []
+    h, w = mask.shape
+    for i in range(h):
+        for j in range(w):
+            if mask[i, j] and lab[i, j] == 0:
+                cur += 1
+                stack.append((i, j))
+                size = 0
+                while stack:
+                    a, b_ = stack.pop()
+                    if a < 0 or a >= h or b_ < 0 or b_ >= w:
+                        continue
+                    if not mask[a, b_] or lab[a, b_] != 0:
+                        continue
+                    lab[a, b_] = cur
+                    size += 1
+                    stack.extend([(a + 1, b_), (a - 1, b_),
+                                  (a, b_ + 1), (a, b_ - 1)])
+                frac = size / mask.size
+                if not (min_frac <= frac <= max_frac):
+                    lab[lab == cur] = -1        # reject: too small/large
+                    cur -= 1
+    return cur
+
+
+class FaceCounter:
+    """Pluggable face-detection hook (Process_Kinect::detectFaces
+    analog). Pass any callable rgb -> int (e.g. a real cascade or a
+    model-backed detector); defaults to the skin-blob heuristic."""
+
+    def __init__(self, detector: Optional[Callable[[np.ndarray], int]]
+                 = None):
+        self.detector = detector or heuristic_face_count
+        self.last_count = 0
+
+    def __call__(self, rgb_hwc: np.ndarray) -> int:
+        self.last_count = int(self.detector(rgb_hwc))
+        return self.last_count
+
+
 def object_reply(name: str) -> str:
     return _REPLIES.get(name, f"i can see a {name}")
 
@@ -122,4 +179,5 @@ class Speaker:
 
 
 __all__ = ["hand_roi", "detect_in_hand", "associate_person",
-           "object_reply", "Speaker"]
+           "object_reply", "Speaker", "FaceCounter",
+           "heuristic_face_count"]

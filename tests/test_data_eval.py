@@ -158,6 +158,37 @@ def test_weights_roundtrip_bitexact(tmp_path):
     assert pathlib.Path(p1).read_bytes() == pathlib.Path(p2).read_bytes()
 
 
+def test_xnor_binary_weights_pack_roundtrip():
+    """Bit-packed XNOR conv weights (parser.c:737-766 / :933-961, dead
+    code upstream): pack -> unpack reconstructs sign(w) * mean(|w|) per
+    filter, with the reference's size//8 truncation quirk (trailing
+    size%8 weights dropped)."""
+    import io as _io
+    from sr_object_detection_tpu.graph import spec as S
+    from sr_object_detection_tpu.io.weights import (
+        pack_binary_conv, unpack_binary_conv, WeightsReader)
+    rng = np.random.default_rng(0)
+    # c*size*size = 3*3*3 = 27 -> 3 bytes of bits + 3 dropped weights
+    spec = S.ConvSpec(index=0, filters=4, size=3, c=3,
+                      batch_normalize=True)
+    p = {"weights": rng.normal(0, 0.1, (3, 3, 3, 4)).astype(np.float32),
+         "biases": rng.normal(0, 1, 4).astype(np.float32),
+         "scales": np.ones(4, np.float32),
+         "rolling_mean": np.zeros(4, np.float32),
+         "rolling_variance": np.ones(4, np.float32)}
+    blob = pack_binary_conv(p, spec, batch_normalize=True)
+    got = unpack_binary_conv(WeightsReader(_io.BytesIO(blob)), spec,
+                             batch_normalize=True)
+    np.testing.assert_array_equal(got["biases"], p["biases"])
+    w = p["weights"]
+    flat = np.transpose(w, (3, 2, 0, 1)).reshape(4, 27)
+    gflat = np.transpose(got["weights"], (3, 2, 0, 1)).reshape(4, 27)
+    mean = np.mean(np.abs(flat), axis=1, keepdims=True)
+    want = np.where(flat > 0, mean, -mean).astype(np.float32)
+    np.testing.assert_allclose(gflat[:, :24], want[:, :24], rtol=1e-6)
+    np.testing.assert_array_equal(gflat[:, 24:], 0)   # truncation quirk
+
+
 def test_denormalize_preserves_inference():
     import jax.numpy as jnp
     from sr_object_detection_tpu.graph.compiler import build_forward
