@@ -174,6 +174,32 @@ def scene_flow_features(prev_rgb: np.ndarray, cur_rgb: np.ndarray,
 SCENE_FLOW_DIM = 8 + 3
 
 
+def body_part_stats(label_map: np.ndarray, body_mask: np.ndarray,
+                    n_parts: int = 32):
+    """Per-pixel body-part label aggregation: for each part id, the
+    foreground pixel count and centroid (row, col).
+
+    The reference's PixeltoBodyPartLabel (Process_Kinect.cpp:955-979)
+    iterates the body's foreground pixels and reads the label value
+    into a local — the loop body is otherwise EMPTY; this computes the
+    aggregation that read was evidently for. label_map: (H, W) int
+    part ids; body_mask: (H, W) bool foreground."""
+    lab = np.where(body_mask, label_map, -1).ravel()
+    valid = lab >= 0
+    idx = np.flatnonzero(valid)
+    l = lab[idx].astype(np.int64)
+    counts = np.bincount(l, minlength=n_parts)[:n_parts]
+    h, w = label_map.shape
+    rows = idx // w
+    cols = idx % w
+    rsum = np.bincount(l, weights=rows, minlength=n_parts)[:n_parts]
+    csum = np.bincount(l, weights=cols, minlength=n_parts)[:n_parts]
+    denom = np.maximum(counts, 1)
+    centroids = np.stack([rsum / denom, csum / denom], axis=1)
+    centroids[counts == 0] = -1.0
+    return counts.astype(np.int64), centroids.astype(np.float32)
+
+
 def clip_features(joints: np.ndarray, rgbd_clip=None,
                   cfg: HistogramConfig = HistogramConfig()) -> np.ndarray:
     """Full clip descriptor: skeleton motion histograms plus (when an
@@ -274,4 +300,5 @@ class ActionRecognizer:
 
 __all__ = ["motion_histograms", "descriptor_size", "HistogramConfig",
            "scene_flow", "scene_flow_features", "clip_features",
-           "SCENE_FLOW_DIM", "ELM", "ActionRecognizer", "N_JOINTS"]
+           "SCENE_FLOW_DIM", "body_part_stats", "ELM",
+           "ActionRecognizer", "N_JOINTS"]

@@ -106,6 +106,24 @@ def test_face_counter_hook():
     assert fc2(img) == 7
 
 
+def test_body_part_stats():
+    """Per-part pixel counts/centroids from a label map (the
+    aggregation PixeltoBodyPartLabel's empty loop body was reading
+    labels for, Process_Kinect.cpp:955-979)."""
+    from sr_object_detection_tpu.robot.action import body_part_stats
+    lab = np.zeros((10, 10), np.int32)
+    lab[2:4, 2:4] = 5          # part 5: 4 px at centroid (2.5, 2.5)
+    lab[7, 7] = 9              # part 9: 1 px
+    mask = np.ones((10, 10), bool)
+    mask[7, 7] = False         # background -> part 9 excluded
+    counts, cents = body_part_stats(lab, mask, n_parts=12)
+    assert counts[5] == 4 and counts[9] == 0
+    np.testing.assert_allclose(cents[5], [2.5, 2.5])
+    assert (cents[9] == -1).all()
+    # part 0 covers the rest of the masked foreground
+    assert counts[0] == mask.sum() - 4
+
+
 def test_body_viz_bones_and_hand_states():
     """BodyBasics rendering analog (BodyBasics.cpp:525-607): tracked
     bones drawn, not-tracked skipped, hand circles colored by state."""
