@@ -202,14 +202,16 @@ class Trainer:
     (src_yolo2/detector.c:25-168, classifier.c:38-150)."""
 
     def __init__(self, spec: S.NetworkSpec, params=None, *, mesh=None,
-                 seed: int = 0, compute_dtype=None, remat: bool = False):
+                 seed: int = 0, compute_dtype=None, remat: bool = False,
+                 tp_min_filters: int = 2048):
         self.spec = spec
         self.mesh = mesh
         if params is None:
             params = init_params(spec, seed=seed)
         params = jax.tree.map(jnp.asarray, params)
         if mesh is not None:
-            params = shard_params(mesh, params, spec)
+            params = shard_params(mesh, params, spec,
+                                  tp_min_filters=tp_min_filters)
         self.state = TrainState(
             params=params,
             velocity=init_velocity(params),
