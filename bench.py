@@ -81,6 +81,23 @@ def main():
     except Exception as e:
         print(f"yolov2-608 bench skipped: {e}", file=sys.stderr)
 
+    try:
+        from sr_object_detection_tpu.models.zoo import yolo9000
+        from sr_object_detection_tpu.io.weights import fast_init_params
+        spec9 = yolo9000(tree_file="/root/reference/cfg/9k.tree",
+                         map_file=None)
+        eng9 = ThroughputEngine(spec9, fast_init_params(spec9, seed=0),
+                                batch=32, dtype=jnp.bfloat16)
+        eng9.warmup()
+        r9 = eng9.benchmark(iters=10)
+        f9 = analytic_flops(spec9)
+        print(f"yolo9000-416 (28269-ch head + 9k tree): "
+              f"{r9['images_per_sec']:.0f} img/s (batch 32), "
+              f"{r9['images_per_sec']*f9/1e12:.1f} TFLOP/s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"yolo9000 bench skipped: {e}", file=sys.stderr)
+
     def train_bench(mkspec, label, batch_t, *, iters=5, remat=False,
                     fast_init=False):
         import dataclasses
