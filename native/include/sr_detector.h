@@ -37,12 +37,14 @@ typedef struct {
 } srBBox;
 
 /* Inference bridge: fill boxes_out (n_boxes*4: x,y,w,h center-relative
- * in [0,1]) and probs_out (n_boxes*classes, already region-decoded,
- * conditional class probs x objectness). img is HWC float RGB [0,1] at
- * ANY size — the backend resizes to net dims itself (load_image +
- * resize_image parity lives with the network). Return 0 on success. */
+ * in [0,1]) and probs_out (n_boxes*classes, region-decoded with
+ * get_region_boxes' thresh gating applied — the tree-without-map
+ * branch gates on objectness > thresh at decode time, so thresh must
+ * reach the backend). img is HWC float RGB [0,1] at ANY size — the
+ * backend resizes to net dims itself (load_image + resize_image parity
+ * lives with the network). Return 0 on success. */
 typedef int (*sr_infer_fn)(void *ctx, const float *img_hwc,
-                           int w, int h, int c,
+                           int w, int h, int c, float thresh,
                            float *boxes_out, float *probs_out);
 
 typedef struct srDetector srDetector;

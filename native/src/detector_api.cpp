@@ -19,6 +19,7 @@
 #include <numeric>
 #include <vector>
 
+#include <csignal>
 #include <sys/types.h>
 #include <sys/wait.h>
 #include <unistd.h>
@@ -74,12 +75,14 @@ struct srDetector {
     std::deque<std::vector<srBBox>> prev;
     std::vector<uint32_t> track_counter;
 
-    int run_infer(const float *img, int w, int h, int c) {
-        if (infer) return infer(ctx, img, w, h, c, boxes.data(),
+    int run_infer(const float *img, int w, int h, int c, float thresh) {
+        if (infer) return infer(ctx, img, w, h, c, thresh, boxes.data(),
                                 probs.data());
         if (!pipe) return -1;
         int32_t hdr[3] = {w, h, c};
         if (fwrite(hdr, sizeof(int32_t), 3, pipe->to_child) != 3) return -1;
+        if (fwrite(&thresh, sizeof(float), 1, pipe->to_child) != 1)
+            return -1;
         size_t n = (size_t)w * h * c;
         if (fwrite(img, sizeof(float), n, pipe->to_child) != n) return -1;
         fflush(pipe->to_child);
@@ -111,12 +114,21 @@ srDetector *sr_detector_create(int n_boxes, int classes, int net_w,
 }
 
 srDetector *sr_detector_create_pipe(const char *const argv[]) {
+    /* a dead worker must surface as detect() == -1, not kill the
+     * embedding process: writes to a closed pipe raise SIGPIPE by
+     * default, turning fwrite into process death before the error
+     * path can run */
+    signal(SIGPIPE, SIG_IGN);
     int in_pipe[2], out_pipe[2];
     if (pipe(in_pipe) != 0) return nullptr;
     if (pipe(out_pipe) != 0) { close(in_pipe[0]); close(in_pipe[1]);
                                return nullptr; }
     pid_t pid = fork();
-    if (pid < 0) return nullptr;
+    if (pid < 0) {
+        close(in_pipe[0]); close(in_pipe[1]);
+        close(out_pipe[0]); close(out_pipe[1]);
+        return nullptr;
+    }
     if (pid == 0) {
         /* child: stdin <- in_pipe, stdout -> out_pipe */
         dup2(in_pipe[0], 0);
@@ -171,7 +183,7 @@ int sr_detector_classes(const srDetector *d) { return d->classes; }
 int sr_detector_detect(srDetector *d, const float *img_hwc, int w, int h,
                        int c, float thresh, float nms, srBBox *out,
                        int cap) {
-    if (d->run_infer(img_hwc, w, h, c) != 0) return -1;
+    if (d->run_infer(img_hwc, w, h, c, thresh) != 0) return -1;
     const int n = d->n_boxes, nc = d->classes;
     float *probs = d->probs.data();
     const float *boxes = d->boxes.data();

@@ -87,7 +87,7 @@ int main() {
     // fake network: 3 grid boxes, 2 classes; boxes 0 and 1 overlap
     // heavily with box 0 stronger -> NMS must zero box 1's class-0
     // prob; box 2 is a clean class-1 hit.
-    auto fake_infer = [](void *, const float *, int, int, int,
+    auto fake_infer = [](void *, const float *, int, int, int, float,
                          float *boxes, float *probs) -> int {
         const float bx[12] = {0.50f, 0.50f, 0.20f, 0.20f,
                               0.52f, 0.50f, 0.20f, 0.20f,

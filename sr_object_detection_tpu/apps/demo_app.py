@@ -59,7 +59,16 @@ class StreamingDemo:
             t.start()
             t0 = time.perf_counter()
 
-            boxes, probs = self.det.predict_batch(jnp.asarray(cur["x"]))
+            # tree-without-map models gate on objectness>thresh INSIDE
+            # the decode (region_layer.c:365) — the thresh must reach
+            # predict_batch there; plain models keep raw products so
+            # the 3-frame average matches demo.c (average, then gate)
+            kw = {}
+            if (getattr(self.det, "tree", None) is not None
+                    and getattr(self.det, "class_map", None) is None):
+                kw["thresh"] = self.thresh
+            boxes, probs = self.det.predict_batch(jnp.asarray(cur["x"]),
+                                                  **kw)
             self.ring.append((np.asarray(boxes[0]), np.asarray(probs[0])))
             # 3-frame prediction average (demo.c mean_arrays)
             avg_probs = np.mean([p for _, p in self.ring], axis=0)

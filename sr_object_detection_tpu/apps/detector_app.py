@@ -132,12 +132,13 @@ def validate_detector(data_cfg: str, cfg: str, weights: str,
         boxes = np.asarray(boxes[0])
         probs = np.asarray(probs[0])
         if nms > 0:
-            # full-k NMS: valid is offline and scored on the whole
+            # exact NMS: valid is offline and scored on the whole
             # low-confidence tail (thresh .005), so the top-k
-            # truncation the latency path uses would drop real lines
-            probs = np.asarray(B.nms_sort_topk(
-                jnp.asarray(boxes), jnp.asarray(probs), nms,
-                k=len(boxes)))
+            # truncation the latency path uses would drop real lines;
+            # nms_sort_exact keeps memory O(N^2) even for yolo9000's
+            # 9418 classes (full-k top-k would need a (C,N,N) tensor)
+            probs = np.asarray(B.nms_sort_exact(
+                jnp.asarray(boxes), jnp.asarray(probs), nms))
         for name, lines in voc_det_lines(image_id, boxes, probs, names,
                                          iw, ih).items():
             for line in lines:

@@ -4,12 +4,14 @@ Speaks the sr_detector pipe protocol (native/src/detector_api.cpp):
 
   handshake (worker -> host):  int32 magic 0x53524456, net_w, net_h,
                                n_boxes, classes
-  request  (host -> worker):   int32 w, h, c  (w==0 -> exit),
-                               then w*h*c float32 HWC RGB [0,1]
+  request  (host -> worker):   int32 w, h, c (w<=0 -> exit), float32
+                               thresh, then w*h*c float32 HWC RGB [0,1]
   response (worker -> host):   n_boxes*4 float32 decoded boxes
                                (cx,cy,w,h relative) then
-                               n_boxes*classes float32 probs
-                               (objectness x class, unthresholded)
+                               n_boxes*classes float32 probs with
+                               get_region_boxes' thresh gating applied
+                               (required for tree-without-map models
+                               whose gate is objectness > thresh)
 
 The host side (a pure C++ application) then does thresholding, NMS and
 tracking natively — the process-boundary analog of the reference's
@@ -57,19 +59,23 @@ def main(argv=None):
     out.flush()
 
     while True:
-        hdr = inp.read(12)
-        if len(hdr) < 12:
+        hdr = inp.read(16)
+        if len(hdr) < 16:
             return 0
-        w, h, c = struct.unpack("<3i", hdr)
+        w, h, c, thresh = struct.unpack("<3if", hdr)
         if w <= 0:
             return 0
+        if h <= 0 or c <= 0 or w * h * c > 1 << 28:
+            print(f"serve: bad request header w={w} h={h} c={c}",
+                  file=sys.stderr)
+            return 1
         n = w * h * c
         buf = inp.read(4 * n)
         if len(buf) < 4 * n:
             return 0
         img = np.frombuffer(buf, "<f4").reshape(h, w, c)
         x = det.preprocess(img)[None]
-        boxes, probs = det.predict_batch(jnp.asarray(x))
+        boxes, probs = det.predict_batch(jnp.asarray(x), thresh=thresh)
         out.write(np.asarray(boxes[0], "<f4").tobytes())
         out.write(np.asarray(probs[0], "<f4").tobytes())
         out.flush()

@@ -260,7 +260,7 @@ def _save_connected(out: list[np.ndarray], p: dict, batch_normalize: bool):
         out.append(np.asarray(p["rolling_variance"], np.float32))
 
 
-def pack_binary_conv(p: dict, spec, *, batch_normalize: bool) -> bytes:
+def pack_binary_conv(p: dict, *, batch_normalize: bool) -> bytes:
     """XNOR bit-packed conv weights
     (save_convolutional_weights_binary, parser.c:737-766 — dead code
     upstream, the call sites are commented out): biases [+ BN triple],

@@ -230,6 +230,33 @@ def nms_sort(boxes, probs, iou_thresh: float):
     return out
 
 
+def nms_sort_exact(boxes, probs, iou_thresh: float):
+    """Exact do_nms_sort (box.c:249-277) with O(N^2 + N*C) memory: one
+    shared IoU matrix, classes processed SEQUENTIALLY (lax.map). The
+    full-k variant of nms_sort_topk would materialize a (C, N, N) IoU
+    tensor — ~9.7 GB for yolo9000's 9418 classes — so offline exact
+    paths (detector valid) use this instead."""
+    n, c = probs.shape
+    iou = box_iou(boxes[:, None, :], boxes[None, :, :])   # (N, N) once
+
+    def per_class(p):
+        order = jnp.argsort(-p)
+        p_o = p[order]
+        iou_o = iou[order][:, order]
+
+        def body(suppressed, r):
+            alive = (p_o[r] > 0) & ~suppressed[r]
+            kill = alive & (iou_o[r] > iou_thresh) & (jnp.arange(n) > r)
+            return suppressed | kill, None
+
+        suppressed, _ = jax.lax.scan(body, jnp.zeros(n, bool),
+                                     jnp.arange(n))
+        kept = jnp.where(suppressed, 0.0, p_o)
+        return jnp.zeros_like(p).at[order].set(kept)
+
+    return jax.lax.map(per_class, probs.T).T
+
+
 def nms_sort_topk(boxes, probs, iou_thresh: float, k: int = 128):
     """NMS over only the top-k candidates per class — the production
     path. Identical result to :func:`nms_sort` whenever <=k boxes per
@@ -290,5 +317,5 @@ def hierarchy_multiply(probs, parents):
 __all__ = [
     "box_iou", "iou_matrix", "region_activate", "grouped_softmax",
     "decode_region_boxes", "region_class_probs",
-    "nms_sort", "nms_sort_topk", "hierarchy_multiply",
+    "nms_sort", "nms_sort_topk", "nms_sort_exact", "hierarchy_multiply",
 ]

@@ -279,6 +279,18 @@ def region_delta(raw_flat, truth, seen, spec: RegionSpec, *,
 
     d_coord = scatter(d_coord, d_assigned)
     d_obj = scatter(d_obj[..., None], d_obj_assigned[..., None])[..., 0]
+    if tree is not None:
+        # delta_region_class's tree variant (region_layer.c:108-124)
+        # writes ONLY the sibling groups along the truth's path —
+        # classes outside those groups keep whatever stage 1 wrote
+        # (e.g. classfix>0 deltas). Merge with the current rows so the
+        # full-row scatter doesn't zero them. (grp comes from
+        # class_delta_masks above; gather-before-scatter means a
+        # duplicate-cell second truth merges against pre-stage-2
+        # values — the reference's sequential loop would see the first
+        # truth's writes, a negligible duplicate-cell edge.)
+        cur_rows = d_cls[bsel, tj, ti, best_n]
+        d_cls_assigned = jnp.where(grp, d_cls_assigned, cur_rows)
     d_cls = scatter(d_cls, d_cls_assigned)
 
     # ---- classification-only sentinel truths (tree co-training) ------

@@ -176,7 +176,7 @@ def test_xnor_binary_weights_pack_roundtrip():
          "scales": np.ones(4, np.float32),
          "rolling_mean": np.zeros(4, np.float32),
          "rolling_variance": np.ones(4, np.float32)}
-    blob = pack_binary_conv(p, spec, batch_normalize=True)
+    blob = pack_binary_conv(p, batch_normalize=True)
     got = unpack_binary_conv(WeightsReader(_io.BytesIO(blob)), spec,
                              batch_normalize=True)
     np.testing.assert_array_equal(got["biases"], p["biases"])

@@ -123,6 +123,28 @@ def test_latency_engine_frame_resize_path():
     assert np.isfinite(np.asarray(boxes)).all()
 
 
+def test_nms_sort_exact_matches_topk_full():
+    """nms_sort_exact (O(N^2) memory, sequential classes) must equal
+    nms_sort_topk with k=N (the variant that would need a (C,N,N)
+    tensor — 9.7 GB at yolo9000 scale)."""
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.ops.boxes import (nms_sort_exact,
+                                                   nms_sort_topk)
+    rng = np.random.default_rng(0)
+    n, c = 60, 7
+    boxes = np.stack([rng.uniform(0.2, 0.8, n), rng.uniform(0.2, 0.8, n),
+                      rng.uniform(0.05, 0.5, n), rng.uniform(0.05, 0.5, n)],
+                     axis=1).astype(np.float32)
+    probs = np.where(rng.random((n, c)) < 0.5, 0.0,
+                     rng.random((n, c))).astype(np.float32)
+    a = np.asarray(nms_sort_exact(jnp.asarray(boxes), jnp.asarray(probs),
+                                  0.4))
+    b = np.asarray(nms_sort_topk(jnp.asarray(boxes), jnp.asarray(probs),
+                                 0.4, k=n))
+    np.testing.assert_array_equal(a, b)
+    assert (a > 0).sum() < (probs > 0).sum()   # something was suppressed
+
+
 def test_hierarchy_walk_semantics():
     """get_region_boxes' deepest-confident walk (region_layer.c:356-366):
     keep only the highest-index class with path-prob > .5."""

@@ -173,7 +173,19 @@ def test_region_padding_rows_cannot_clobber_cell0():
 def test_train_tree_region_yolo9000_path():
     """Hierarchical-softmax region training incl. a classification-only
     sentinel truth (the YOLO9000 co-training mechanism)."""
-    g = _load("train_tree_region")
+    _tree_train_compare("train_tree_region")
+
+
+def test_train_tree_region_classfix2():
+    """classfix=2 + tree: stage-1c class deltas at high-IoU cells must
+    SURVIVE the stage-2 tree class scatter outside the truth's
+    sibling-group path (delta_region_class tree variant only writes
+    group entries, region_layer.c:108-124)."""
+    _tree_train_compare("train_tree_region_classfix2")
+
+
+def _tree_train_compare(name):
+    g = _load(name)
     import tempfile, os
     with tempfile.TemporaryDirectory() as td:
         tree_path = os.path.join(td, "mini.tree")

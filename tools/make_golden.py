@@ -654,13 +654,23 @@ tree={TREE}
 """
 
 
-def gen_train_tree_region(oracle_train: str, steps: int = 2, seed: int = 0):
-    name = "train_tree_region"
+def gen_train_tree_region(oracle_train: str, steps: int = 2, seed: int = 0,
+                          *, name: str = "train_tree_region",
+                          classfix: int = 0):
+    """classfix>0 + tree pins the interaction where a cell is BOTH
+    high-IoU (stage-1c class delta toward the best truth's class,
+    region_layer.c:237-240) and the assigned cell (stage-2 tree class
+    delta writes only the sibling-group path, :108-124) — stage-1c
+    deltas outside the path must survive."""
     with tempfile.TemporaryDirectory() as td:
         td = pathlib.Path(td)
         tree_path = td / "mini.tree"
         tree_path.write_text(TREE_TEXT)
-        cfg_text = TRAIN_TREE_REGION.replace("{TREE}", str(tree_path))
+        cfg_template = TRAIN_TREE_REGION
+        if classfix:
+            cfg_template = cfg_template.replace(
+                "thresh=.6", f"thresh=.05\nclassfix={classfix}")
+        cfg_text = cfg_template.replace("{TREE}", str(tree_path))
         net = S.build_network_spec(parse_cfg_text(cfg_text))
         params = init_params(net, seed=seed)
         rng = np.random.default_rng(seed + 4000)
@@ -690,7 +700,7 @@ def gen_train_tree_region(oracle_train: str, steps: int = 2, seed: int = 0):
 
     np.savez_compressed(
         GOLDEN / name,
-        cfg=np.frombuffer(TRAIN_TREE_REGION.encode(), dtype=np.uint8),
+        cfg=np.frombuffer(cfg_template.encode(), dtype=np.uint8),
         tree=np.frombuffer(TREE_TEXT.encode(), dtype=np.uint8),
         seed=np.int64(seed), steps=np.int64(steps),
         x_chw=x, truth=truth, weights_after=np.frombuffer(wout, np.uint8),
