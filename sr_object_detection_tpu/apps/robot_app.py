@@ -5,7 +5,14 @@ parse -cfgfile/-weightfile/-useThrift, build KinectUtil, run()):
 
   robot run <cfg> <weights> [-source synthetic|<glob>] [-event E]
             [-frames N] [-names file] [-nl path] [-ipc path]
-            [-detect-every N] [-maxdist meters]
+            [-detect-every N] [-maxdist meters] [-faces]
+            [-dets-file path]
+
+  -faces      count faces per frame (Process_Kinect::detectFaces hook)
+  -dets-file  consume detections from the shared-text-file protocol
+              instead of running a model in-process (the speech-api
+              deployment, KinectUtil_speech_api.cpp) — <cfg> <weights>
+              are ignored
 """
 
 from __future__ import annotations
@@ -26,8 +33,9 @@ def run_robot(argv: list[str]):
     ipc_path = find_value(argv, "-ipc", None)
     detect_every = find_value(argv, "-detect-every", 1, int)
     max_dist = find_value(argv, "-maxdist", 0.0, float)
+    count_faces = find_arg(argv, "-faces")
+    dets_file = find_value(argv, "-dets-file", None)
 
-    from ..infer.detector import Detector
     from ..robot.frame_source import (SyntheticRGBDSource,
                                       ImageDirectorySource)
     from ..robot.pipeline import RobotPerception
@@ -36,19 +44,39 @@ def run_robot(argv: list[str]):
     if names_file:
         from ..config import read_names
         names = read_names(names_file)
-    det = Detector(cfg, weights, names=names)
+    if dets_file:
+        # speech-api shape: detections come from another process via
+        # the shared txt protocol; no model in this process
+        from ..robot.file_protocol import FileProtocolDetector
+        det = FileProtocolDetector(dets_file)
+    else:
+        from ..infer.detector import Detector
+        det = Detector(cfg, weights, names=names)
     if source_spec == "synthetic":
         source = SyntheticRGBDSource(n_frames=max_frames)
     else:
         source = ImageDirectorySource(source_spec)
 
+    faces = None
+    if count_faces:
+        from ..robot.interaction import FaceCounter
+        faces = FaceCounter()
+
     pipe = RobotPerception(det, names=names, event=event,
                            max_distance=max_dist,
                            detect_every=detect_every, nl_path=nl_path,
                            ipc=ipc_path)
-    results = pipe.run(source, max_frames=max_frames)
-    for i, r in enumerate(results):
+    results = []
+    for i, frame in enumerate(source):
+        if max_frames and i >= max_frames:
+            break
+        r = pipe.process(frame)
+        if faces is not None:
+            img = frame.color.astype("float32")
+            r["faces"] = faces(img / 255.0 if img.max() > 1.5 else img)
+        results.append(r)
         print(f"frame {i}: {r['sentence']}"
+              + (f"  faces={r['faces']}" if faces is not None else "")
               + (f"  [reminder: "
                  f"{', '.join(d.get('name', str(d['class_id'])) for d in r['reminders'])}]"
                  if r["reminders"] else ""))
