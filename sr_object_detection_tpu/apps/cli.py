@@ -99,6 +99,19 @@ def cmd_classify(argv):
         print(f"{name or idx}: {p:.6f}")
 
 
+def cmd_gemm(argv):
+    """gemm.c:232-341 time_ongpu analog: GFLOP/s for darknet-shaped
+    matmuls on the MXU. `gemm [m k n] [-reps N] [-f32]`."""
+    import jax.numpy as jnp
+    from ..utils.gemm_bench import run_gemm_bench
+    reps = find_value(argv, "-reps", 200, int)
+    dtype = jnp.float32 if find_arg(argv, "-f32") else jnp.bfloat16
+    shapes = None
+    if len(argv) >= 3:
+        shapes = [(0, 0, int(argv[0]), int(argv[1]), int(argv[2]))]
+    run_gemm_bench(shapes, dtype=dtype, reps=reps)
+
+
 def cmd_speed(argv):
     """darknet.c:98-113: time `tics` forwards, print sec/eval and Hz."""
     cfg = argv[0]
@@ -355,6 +368,7 @@ COMMANDS = {
     "compare": cmd_compare,
     "writing": cmd_writing,
     "speed": cmd_speed,
+    "gemm": cmd_gemm,
     "ops": cmd_ops,
     "partial": cmd_partial,
     "average": cmd_average,
