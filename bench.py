@@ -47,10 +47,28 @@ def main():
     print(f"compile+warmup: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     r = eng.benchmark(iters=30)
     ips = r["images_per_sec"]
-    print(f"throughput: {ips:.0f} img/s (batch {batch}), "
+    print(f"throughput bf16: {ips:.0f} img/s (batch {batch}), "
           f"{ips*flops/1e12:.1f} TFLOP/s, "
           f"MFU {100*ips*flops/PEAK:.0f}% of v5e bf16 peak",
           file=sys.stderr)
+
+    # int8 serving mode (infer/quant.py): symmetric PTQ, head conv +
+    # decode stay float; accuracy-gated by tests/test_quant.py::
+    # test_int8_map_delta (mAP within 0.002 of f32 on the A/B set).
+    # This is the headline serving configuration.
+    try:
+        from sr_object_detection_tpu.infer.quant import (
+            QuantizedThroughputEngine)
+        qeng = QuantizedThroughputEngine(spec, params, batch=batch)
+        qeng.warmup()
+        qr = qeng.benchmark(iters=30)
+        qips = qr["images_per_sec"]
+        print(f"throughput int8: {qips:.0f} img/s (batch {batch}), "
+              f"{qips*flops/1e12:.1f} TFLOP/s-equiv "
+              f"({qips/ips:.2f}x bf16)", file=sys.stderr)
+        ips = max(ips, qips)
+    except Exception as e:
+        print(f"int8 bench skipped: {e}", file=sys.stderr)
 
     try:
         lat = LatencyEngine(spec, params, dtype=jnp.bfloat16)
@@ -75,8 +93,16 @@ def main():
         eng2.warmup()
         r2 = eng2.benchmark(iters=15)
         f2 = analytic_flops(spec2)
-        print(f"yolov2-coco-608: {r2['images_per_sec']:.0f} img/s "
+        print(f"yolov2-coco-608: bf16 {r2['images_per_sec']:.0f} img/s "
               f"(batch 32), {r2['images_per_sec']*f2/1e12:.1f} TFLOP/s",
+              file=sys.stderr)
+        from sr_object_detection_tpu.infer.quant import (
+            QuantizedThroughputEngine)
+        q2 = QuantizedThroughputEngine(spec2, ip2(spec2, seed=0), batch=32)
+        q2.warmup()
+        qr2 = q2.benchmark(iters=15)
+        print(f"yolov2-coco-608: int8 {qr2['images_per_sec']:.0f} img/s "
+              f"({qr2['images_per_sec']/r2['images_per_sec']:.2f}x bf16)",
               file=sys.stderr)
     except Exception as e:
         print(f"yolov2-608 bench skipped: {e}", file=sys.stderr)

@@ -49,7 +49,7 @@ class Detector:
                  *, names: Optional[Sequence[str]] = None,
                  compute_dtype=None, letterbox: bool = False,
                  map_path: Optional[str] = None,
-                 nms_topk: int = 128):
+                 nms_topk: int = 128, int8_calib=None):
         self.spec = S.parse_network_cfg(cfg_path)
         self.compiled = CompiledNetwork(self.spec, compute_dtype=compute_dtype)
         if weights_path:
@@ -57,6 +57,22 @@ class Detector:
         else:
             self.params, self.seen = init_params(self.spec), 0
         self.params = jax.tree.map(jnp.asarray, self.params)
+        if int8_calib is not None:
+            # int8 serving mode: calibrate on the given preprocessed NHWC
+            # sample batch and swap the forward for the quantized program
+            # (infer/quant.py); decode below is unchanged — the head conv
+            # and region stay in float.
+            from .quant import quantize_for_inference
+            qnet = quantize_for_inference(self.spec, self.params,
+                                          np.asarray(int8_calib))
+            self._qnet = qnet
+
+            class _QuantForward:
+                forward = staticmethod(
+                    lambda params, x, **kw: (qnet.forward(qnet.qparams, x),
+                                             None))
+                trees = self.compiled.trees
+            self.compiled = _QuantForward()
         self.names = list(names) if names else None
         self.letterbox = letterbox
         self.nms_topk = nms_topk

@@ -1,0 +1,309 @@
+"""int8 quantized serving path (post-training quantization).
+
+TPU-native speed lever the reference does not have (its low-precision
+story is XNOR binarization, src_yolo2/convolutional_layer.c:443-448,
+which destroys accuracy): v5e's MXU runs int8 at 2x the bf16 rate and
+every activation round-trip through HBM halves. The stem conv+pool —
+measured bandwidth-bound at ~320 GB/s effective on this chip (see
+PARITY.md "Stem fusion: measured negative result") — is exactly halved
+by int8 activations, which no fusion strategy achieved in bf16.
+
+Scheme (standard symmetric PTQ):
+  * weights: per-output-channel symmetric int8, scale = amax/127 —
+    quantized once at load from the BN-folded f32 weights;
+  * activations: per-layer symmetric int8 with scales calibrated by one
+    f32 forward over sample images (amax observer);
+  * convs run int8 x int8 -> int32 on the MXU; the dequant + bias +
+    activation + requant epilogue is elementwise and fuses into the
+    conv output, so inter-layer traffic is pure int8;
+  * maxpool/reorg operate directly on int8 (max and layout commute with
+    a per-tensor scale); route concat rescales each source to the max
+    source scale (one fused elementwise pass);
+  * the head conv (the one feeding [region]/[detection]) stays bf16 on
+    dequantized input — head logits go through logistic decode and are
+    too precision-sensitive for an int8 step size.
+
+Covers the detection serving topologies (conv/maxpool/route/reorg +
+region): tiny-yolo-voc, yolov2, yolo9000. Anything else raises — the
+bf16 ThroughputEngine is the general path.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import spec as S
+from ..graph.compiler import CompiledNetwork, resolve_trees
+from ..ops import activations as A
+from ..ops import boxes as B
+from ..ops import layout as L
+from .engine import fold_params_for_inference
+
+I8MIN, I8MAX = -127, 127     # symmetric: keep -128 out so |q| <= 127
+
+
+def _requant(v_f32, inv_scale):
+    """f32 -> int8 with round-to-nearest and saturation."""
+    return jnp.clip(jnp.round(v_f32 * inv_scale), I8MIN, I8MAX).astype(
+        jnp.int8)
+
+
+def _maxpool_q(x, *, size: int, stride: int, pad: int):
+    """Darknet maxpool on int8 (ops.pooling.maxpool uses a -inf pad
+    identity, which has no int8 encoding — use iinfo.min instead)."""
+    from jax import lax
+    h, w = x.shape[1], x.shape[2]
+    out_h = (h + 2 * pad) // stride
+    out_w = (w + 2 * pad) // stride
+    if size == stride and pad == 0 and h % size == 0 and w % size == 0:
+        b, _, _, c = x.shape
+        v = x.reshape(b, out_h, size, out_w, size, c)
+        return jnp.max(v, axis=(2, 4))
+    pad_b = max(0, (out_h - 1) * stride + size - h - pad)
+    pad_r = max(0, (out_w - 1) * stride + size - w - pad)
+    y = lax.reduce_window(
+        x, jnp.array(jnp.iinfo(x.dtype).min, x.dtype), lax.max,
+        window_dimensions=(1, size, size, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (pad, pad_b), (pad, pad_r), (0, 0)))
+    return y[:, :out_h, :out_w, :]
+
+
+def _conv_i8(x_q, w_q, *, stride: int, pad: int):
+    from jax import lax
+    return lax.conv_general_dilated(
+        x_q, w_q, window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+
+
+def _head_conv_indices(spec: S.NetworkSpec) -> set[int]:
+    """Convs feeding a [region]/[detection] head directly (the darknet
+    head pattern) — kept in bf16."""
+    heads = set()
+    for i, l in enumerate(spec.layers):
+        if isinstance(l, (S.RegionSpec, S.DetectionSpec)) and i > 0:
+            if isinstance(spec.layers[i - 1], S.ConvSpec):
+                heads.add(i - 1)
+    return heads
+
+
+_SUPPORTED = (S.ConvSpec, S.MaxPoolSpec, S.RouteSpec, S.ReorgSpec,
+              S.RegionSpec)
+
+
+def calibrate_amax(spec: S.NetworkSpec, params_f32, calib_x,
+                   *, tree_search_dirs=()) -> tuple[float, dict[int, float]]:
+    """One f32 forward over calibration images; returns (input_amax,
+    {layer_index: output_amax}). The amax observer is the standard PTQ
+    calibrator; symmetric scales follow as amax/127."""
+    net = CompiledNetwork(spec, compute_dtype=None,
+                          tree_search_dirs=tree_search_dirs)
+    _, aux = net.forward(jax.tree.map(jnp.asarray, params_f32),
+                         jnp.asarray(calib_x, jnp.float32), keep_all=True)
+    amax = {i: float(jnp.max(jnp.abs(t.astype(jnp.float32))))
+            for i, t in aux["outputs"].items()}
+    return float(jnp.max(jnp.abs(jnp.asarray(calib_x)))), amax
+
+
+class QuantizedNetwork:
+    """BN-folded, int8-quantized inference program for a detection spec.
+
+    build with :func:`quantize_for_inference`; call ``forward(x_f32)``
+    for the flat region output (f32), identical layout to the bf16
+    engine's.
+    """
+
+    def __init__(self, spec: S.NetworkSpec, qparams, forward,
+                 act_scales: dict[int, float]):
+        self.spec = spec
+        self.qparams = qparams
+        self.forward = forward
+        self.act_scales = act_scales
+
+
+def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
+                           *, head_dtype=jnp.bfloat16,
+                           tree_search_dirs=()) -> QuantizedNetwork:
+    """Fold BN, calibrate activation scales on ``calib_x`` (f32 NHWC
+    sample batch), quantize weights per-channel, and build the int8
+    forward. Raises NotImplementedError on layer types outside the
+    detection serving set."""
+    params_f, fspec = fold_params_for_inference(spec, params,
+                                                dtype=jnp.float32)
+    for l in fspec.layers:
+        if not isinstance(l, _SUPPORTED):
+            raise NotImplementedError(
+                f"int8 path does not support {type(l).__name__}; "
+                "use the bf16 ThroughputEngine")
+        if isinstance(l, S.ConvSpec) and getattr(l, "xnor", False):
+            raise NotImplementedError("xnor conv has its own binary path")
+        if isinstance(l, S.RouteSpec) and l.out_c <= 0:
+            raise NotImplementedError("flat route unsupported in int8")
+
+    in_amax, amax = calibrate_amax(fspec, params_f, calib_x,
+                                   tree_search_dirs=tree_search_dirs)
+    heads = _head_conv_indices(fspec)
+    trees = resolve_trees(fspec, tree_search_dirs)
+
+    # ---- static per-layer scale propagation (python floats -> baked
+    # constants) and parameter quantization -------------------------
+    def scale_of(amax_v: float) -> float:
+        return max(amax_v, 1e-8) / I8MAX
+
+    layers = fspec.layers
+    s_out: dict[int, float] = {}       # int8 scale of each layer output
+    qparams: list[dict[str, Any]] = []
+    in_scale = scale_of(in_amax)
+
+    def in_scale_of(i: int) -> float:
+        return in_scale if i == 0 else s_out[i - 1]
+
+    for i, l in enumerate(layers):
+        p: dict[str, Any] = {}
+        if isinstance(l, S.ConvSpec):
+            w = np.asarray(params_f[i]["weights"], np.float32)  # HWIO
+            b = np.asarray(params_f[i]["biases"], np.float32)
+            if i in heads:
+                p = {"weights": jnp.asarray(w, head_dtype),
+                     "biases": jnp.asarray(b, jnp.float32)}
+                s_out[i] = -1.0        # f32-domain output
+            else:
+                w_s = np.maximum(np.abs(w).reshape(-1, w.shape[3]).max(0),
+                                 1e-8) / I8MAX           # per-out-channel
+                w_q = np.clip(np.round(w / w_s), I8MIN, I8MAX).astype(
+                    np.int8)
+                s_x = in_scale_of(i)
+                p = {"weights": jnp.asarray(w_q),
+                     # int32 -> f32 dequant constant, folds s_x * s_w
+                     "dequant": jnp.asarray(s_x * w_s, jnp.float32),
+                     "biases": jnp.asarray(b, jnp.float32)}
+                s_out[i] = scale_of(amax[i])
+        elif isinstance(l, (S.MaxPoolSpec, S.ReorgSpec)):
+            s_out[i] = in_scale_of(i)   # scale-preserving
+        elif isinstance(l, S.RouteSpec):
+            srcs = [s_out[j] for j in l.layers]
+            if any(s < 0 for s in srcs):
+                raise NotImplementedError("route from a head conv")
+            s_out[i] = max(srcs)
+        elif isinstance(l, S.RegionSpec):
+            s_out[i] = -1.0
+        qparams.append(p)
+
+    act_scales = dict(s_out)
+
+    # ---- forward builder -------------------------------------------
+    def forward(qp, x):
+        saved: dict[int, Any] = {}
+        cur = _requant(x.astype(jnp.float32), np.float32(1.0 / in_scale))
+        for i, l in enumerate(layers):
+            if isinstance(l, S.ConvSpec):
+                if i in heads:
+                    s_x = in_scale_of(i)
+                    xf = (cur.astype(head_dtype)
+                          * jnp.asarray(s_x, head_dtype))
+                    from ..ops.conv import conv2d
+                    y = conv2d(xf, qp[i]["weights"], stride=l.stride,
+                               pad=l.pad, compute_dtype=head_dtype)
+                    y = y + qp[i]["biases"]
+                    cur = A.get_activation(l.activation)(y)
+                else:
+                    y = _conv_i8(cur, qp[i]["weights"],
+                                 stride=l.stride, pad=l.pad)
+                    y = y.astype(jnp.float32) * qp[i]["dequant"]
+                    y = y + qp[i]["biases"]
+                    y = A.get_activation(l.activation)(y)
+                    cur = _requant(y, np.float32(1.0 / s_out[i]))
+            elif isinstance(l, S.MaxPoolSpec):
+                cur = _maxpool_q(cur, size=l.size, stride=l.stride,
+                                 pad=l.pad)
+            elif isinstance(l, S.ReorgSpec):
+                cur = (L.reorg_reverse_darknet(cur, stride=l.stride)
+                       if l.reverse else
+                       L.reorg_darknet(cur, stride=l.stride))
+            elif isinstance(l, S.RouteSpec):
+                parts = []
+                for j in l.layers:
+                    t = saved[j]
+                    if s_out[j] != s_out[i]:
+                        # rescale in the int8 domain to the common
+                        # (max) scale: one fused elementwise pass
+                        r = np.float32(s_out[j] / s_out[i])
+                        t = _requant(t.astype(jnp.float32) * r,
+                                     np.float32(1.0))
+                    parts.append(t)
+                cur = jnp.concatenate(parts, axis=-1)
+            elif isinstance(l, S.RegionSpec):
+                nf = l.coords + l.classes + 1
+                tree = trees.get(i)
+                acts = B.region_activate(
+                    cur.astype(jnp.float32), l.n, nf, softmax=l.softmax,
+                    tree_groups=tree.group if tree is not None else None)
+                cur = acts.reshape(acts.shape[0], -1)
+            saved[i] = cur
+        return cur
+
+    return QuantizedNetwork(fspec, qparams, forward, act_scales)
+
+
+class QuantizedThroughputEngine:
+    """Batched int8 serving engine; same interface/benchmark protocol
+    as :class:`ThroughputEngine` (checksum readback — see there for why
+    block_until_ready is not trusted on tunneled deployments)."""
+
+    def __init__(self, spec: S.NetworkSpec, params, *, batch: int = 128,
+                 calib_x: Optional[np.ndarray] = None,
+                 tree_search_dirs=()):
+        self.batch = batch
+        if calib_x is None:
+            rng = np.random.RandomState(0)
+            calib_x = rng.uniform(
+                0, 1, (min(batch, 8), spec.net.h, spec.net.w,
+                       spec.net.c)).astype(np.float32)
+        qnet = quantize_for_inference(spec, params, calib_x,
+                                      tree_search_dirs=tree_search_dirs)
+        self.qnet = qnet
+        fwd = qnet.forward
+        qp = qnet.qparams
+
+        @jax.jit
+        def run(x):
+            return fwd(qp, x)
+
+        @jax.jit
+        def run_sum(x):
+            return jnp.sum(fwd(qp, x).astype(jnp.float32))
+
+        self._run = run
+        self._run_sum = run_sum
+        self.input_shape = (batch, spec.net.h, spec.net.w, spec.net.c)
+
+    def warmup(self):
+        float(self._run_sum(jnp.zeros(self.input_shape, jnp.float32)))
+
+    def __call__(self, x):
+        return self._run(x)
+
+    def benchmark(self, iters: int = 50, warmup: int = 5) -> dict:
+        x = jnp.asarray(np.random.uniform(
+            0, 1, self.input_shape).astype(np.float32))
+        for _ in range(warmup):
+            float(self._run_sum(x))
+        start = time.perf_counter()
+        s = None
+        for _ in range(iters):
+            s = self._run_sum(x)
+        float(s)
+        dt = time.perf_counter() - start
+        return {"images_per_sec": iters * self.batch / dt,
+                "sec_per_batch": dt / iters, "batch": self.batch}
+
+
+__all__ = ["quantize_for_inference", "QuantizedNetwork",
+           "QuantizedThroughputEngine", "calibrate_amax"]

@@ -1,0 +1,163 @@
+"""int8 post-training-quantization path: numeric fidelity vs the f32
+forward, scale propagation through pool/route/reorg, and engine wiring.
+
+The quantization scheme is symmetric per-channel (weights) / calibrated
+per-layer (activations); there is no reference counterpart (the
+reference's only low-precision mode is XNOR binarization) so the oracle
+here is our own f32 forward.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sr_object_detection_tpu.graph.compiler import CompiledNetwork
+from sr_object_detection_tpu.infer.quant import (
+    QuantizedThroughputEngine, quantize_for_inference)
+from sr_object_detection_tpu.infer.engine import fold_params_for_inference
+from sr_object_detection_tpu.io.weights import init_params
+from sr_object_detection_tpu.models.zoo import tiny_yolo_voc, yolov2
+
+
+def _f32_region_out(spec, params, x):
+    params_f, fspec = fold_params_for_inference(spec, params,
+                                                dtype=jnp.float32)
+    net = CompiledNetwork(fspec, compute_dtype=None)
+    out, _ = net.forward(jax.tree.map(jnp.asarray, params_f),
+                         jnp.asarray(x))
+    return np.asarray(out)
+
+
+def _compare(spec, params, x, *, fields_tol):
+    ref = _f32_region_out(spec, params, x)
+    qnet = quantize_for_inference(spec, params, x)
+    got = np.asarray(qnet.forward(qnet.qparams, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    # region output is [row][col][anchor][(x,y,w,h,obj,cls...)] flat;
+    # activated fields are bounded (logistic/softmax) so absolute error
+    # is the meaningful metric
+    r = spec.layers[-1]
+    nf = r.coords + r.classes + 1
+    reff = ref.reshape(-1, nf)
+    gotf = got.reshape(-1, nf)
+    err = np.abs(reff - gotf)
+    # x,y (logistic), obj (logistic), classes (softmax): absolute
+    for name, cols, tol in fields_tol:
+        e = err[:, cols].mean()
+        assert e < tol, f"{name}: mean abs err {e} >= {tol}"
+
+
+def test_tiny_yolo_int8_matches_f32():
+    spec = tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    rng = np.random.RandomState(1)
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    _compare(spec, params, x, fields_tol=[
+        ("xy", [0, 1], 0.02), ("obj", [4], 0.02),
+        ("cls", list(range(5, 25)), 0.01)])
+
+
+def test_yolov2_route_reorg_int8():
+    # yolov2 topology exercises reorg + 2-source route scale matching
+    spec = yolov2(width=128, height=128)
+    params = init_params(spec, seed=0)
+    rng = np.random.RandomState(2)
+    x = rng.uniform(0, 1, (2, 128, 128, 3)).astype(np.float32)
+    _compare(spec, params, x, fields_tol=[
+        ("xy", [0, 1], 0.03), ("obj", [4], 0.03),
+        ("cls", list(range(5, 85)), 0.01)])
+
+
+def test_quant_scale_propagation():
+    spec = tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    x = np.random.RandomState(3).uniform(
+        0, 1, (2, 64, 64, 3)).astype(np.float32)
+    qnet = quantize_for_inference(spec, params, x)
+    from sr_object_detection_tpu.graph import spec as S
+    for i, l in enumerate(qnet.spec.layers):
+        if isinstance(l, S.MaxPoolSpec):
+            # pool preserves its producer's scale exactly
+            assert qnet.act_scales[i] == qnet.act_scales[i - 1]
+    # head conv + region are f32-domain (scale sentinel)
+    assert qnet.act_scales[len(qnet.spec.layers) - 2] == -1.0
+
+
+def test_quant_engine_runs():
+    spec = tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    eng = QuantizedThroughputEngine(spec, params, batch=2)
+    eng.warmup()
+    out = np.asarray(eng(jnp.zeros((2, 64, 64, 3), jnp.float32)))
+    assert np.all(np.isfinite(out))
+
+
+def test_int8_map_delta(tmp_path):
+    """Accuracy gate for the int8 serving mode: on the synthetic VOC
+    A/B set (the BASELINE.md mAP fixture), int8 mAP stays within 0.05
+    of our own f32 mAP."""
+    import pathlib
+    golden = pathlib.Path(__file__).parent / "golden" / "map_ab.npz"
+    if not golden.exists():
+        pytest.skip("map_ab golden not generated")
+    g = np.load(golden)
+    from tools.synth_dataset import (make_dataset, gt_corner_boxes,
+                                     N_CLASSES)
+    from sr_object_detection_tpu.eval.voc import mean_ap, voc_det_lines
+    from sr_object_detection_tpu.infer.detector import Detector
+    from sr_object_detection_tpu.ops import boxes as B
+    from sr_object_detection_tpu.ops.image import load_image_rgb
+
+    data_dir = tmp_path / "data"
+    list_path, gt = make_dataset(str(data_dir), int(g["n_images"]),
+                                 int(g["seed"]))
+    cfg_file = tmp_path / "net.cfg"
+    cfg_file.write_text(bytes(g["cfg"]).decode())
+    wfile = tmp_path / "w.weights"
+    wfile.write_bytes(bytes(g["weights"]))
+
+    paths = [l.strip() for l in open(list_path) if l.strip()]
+    det_f32 = Detector(str(cfg_file), str(wfile))
+    calib = np.stack([det_f32.preprocess(load_image_rgb(p))
+                      for p in paths[:8]])
+    det_i8 = Detector(str(cfg_file), str(wfile), int8_calib=calib)
+
+    thresh, nms = float(g["thresh"]), float(g["nms"])
+    names = [str(c) for c in range(N_CLASSES)]
+
+    def run_map(det):
+        import jax.numpy as jnp
+        per_class = {c: [] for c in range(N_CLASSES)}
+        for path in paths:
+            img = load_image_rgb(path)
+            ih, iw = img.shape[:2]
+            x = det.preprocess(img)[None]
+            boxes, probs = det.predict_batch(jnp.asarray(x), thresh=thresh)
+            boxes, probs = np.asarray(boxes[0]), np.asarray(probs[0])
+            probs = np.asarray(B.nms_sort_topk(
+                jnp.asarray(boxes), jnp.asarray(probs), nms, k=len(boxes)))
+            lines = voc_det_lines(pathlib.Path(path).stem, boxes, probs,
+                                  names, iw, ih)
+            for c in range(N_CLASSES):
+                for line in lines[names[c]]:
+                    f = line.split()
+                    per_class[c].append((f[0], *map(float, f[1:6])))
+        m, _ = mean_ap(per_class, gt_corner_boxes(gt))
+        return m
+
+    map_f32 = run_map(det_f32)
+    map_i8 = run_map(det_i8)
+    print(f"mAP f32={map_f32:.4f} int8={map_i8:.4f}")
+    assert map_f32 > 0.2          # not vacuous
+    assert abs(map_i8 - map_f32) <= 0.05, (
+        f"int8 mAP drifted: {map_i8:.4f} vs f32 {map_f32:.4f}")
+
+
+def test_quant_rejects_unsupported():
+    from sr_object_detection_tpu.models.zoo import cifar_small
+    spec = cifar_small(batch=1)
+    params = init_params(spec, seed=0)
+    x = np.zeros((1, spec.net.h, spec.net.w, spec.net.c), np.float32)
+    with pytest.raises(NotImplementedError):
+        quantize_for_inference(spec, params, x)
