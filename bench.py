@@ -81,6 +81,15 @@ def main():
               f"(in-graph x{dr['reps']} repeat — the engine number; "
               f"wall times above are dominated by tunnel RTT)",
               file=sys.stderr)
+        calib = np.random.uniform(0, 1, (4, spec.net.h, spec.net.w,
+                                         3)).astype(np.float32)
+        latq = LatencyEngine(spec, params, int8_calib=calib)
+        latq.warmup()
+        drq = latq.device_benchmark(reps=200)
+        print(f"batch-1 on-device int8: "
+              f"{drq['device_ms_per_frame']:.3f}ms/frame "
+              f"({dr['device_ms_per_frame']/drq['device_ms_per_frame']:.2f}x"
+              f" bf16)", file=sys.stderr)
     except Exception as e:  # latency path must not sink the headline
         print(f"latency bench skipped: {e}", file=sys.stderr)
 
@@ -164,14 +173,16 @@ def main():
         return tput
 
     try:
-        train_bench(tiny_yolo_voc, "tiny-yolo-416", 64)
+        train_bench(tiny_yolo_voc, "tiny-yolo-416", 128)
     except Exception as e:
         print(f"training bench skipped: {e}", file=sys.stderr)
 
     try:
         from sr_object_detection_tpu.models.zoo import yolov2
+        # B=48 fits without remat since the bf16 BN core dropped the
+        # f32 x/x_hat residuals (round-2 profile work)
         train_bench(lambda: yolov2(width=608, height=608),
-                    "yolov2-608", 24, iters=3, fast_init=True)
+                    "yolov2-608", 48, iters=3, fast_init=True)
     except Exception as e:
         print(f"yolov2-608 training bench skipped: {e}", file=sys.stderr)
 

@@ -59,6 +59,7 @@ def _load_net(cfg, weights):
 def cmd_detect(argv):
     thresh = find_value(argv, "-thresh", 0.24, float)
     out_path = find_value(argv, "-out", None)
+    use_int8 = find_arg(argv, "-int8")
     cfg, weights, image = argv[0], argv[1], argv[2]
     from ..infer.detector import Detector
     from ..ops.image import load_image_rgb
@@ -67,8 +68,17 @@ def cmd_detect(argv):
     if names_file:
         from ..config import read_names
         names = read_names(names_file)
-    det = Detector(cfg, weights, names=names)
     img = load_image_rgb(image)
+    calib = None
+    if use_int8:
+        # int8 serving mode (infer/quant.py): calibrate activation
+        # scales on the input image itself
+        import numpy as _np
+        from ..graph.spec import parse_network_cfg
+        _spec = parse_network_cfg(cfg)
+        from ..ops.image import resize_image_np
+        calib = resize_image_np(img, _spec.net.w, _spec.net.h)[None]
+    det = Detector(cfg, weights, names=names, int8_calib=calib)
     t0 = time.time()
     dets = det.detect(img, thresh=thresh)
     print(f"{image}: Predicted in {time.time()-t0:.6f} seconds.")

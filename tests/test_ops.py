@@ -198,3 +198,74 @@ def test_shortcut_resampling_matches_darknet(w1, c1, w2, c2):
     got = nhwc_to_chw(L.shortcut(chw_to_nhwc(base), chw_to_nhwc(frm),
                                  lambda x: x))
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_tiled_maxpool_first_tap_gradient():
+    """The custom-vjp tiled maxpool must route gradient to the FIRST
+    max tap of each window (darknet's strict-> update,
+    maxpool_layer.c:95-108) — not split it between ties like the
+    generic reduce-max autodiff."""
+    import jax
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.ops.pooling import maxpool
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+    w = rng.standard_normal((2, 4, 4, 3)).astype(np.float32)
+
+    def f(xx):
+        return jnp.sum(maxpool(xx, size=2, stride=2, pad=0)
+                       * jnp.asarray(w))
+    g = np.asarray(jax.grad(f)(jnp.asarray(x)))
+    ref = np.zeros_like(x)
+    for b in range(2):
+        for oh in range(4):
+            for ow in range(4):
+                for c in range(3):
+                    best, bi, bj = -np.inf, 0, 0
+                    for i in range(2):
+                        for j in range(2):
+                            v = x[b, 2 * oh + i, 2 * ow + j, c]
+                            if v > best:
+                                best, bi, bj = v, i, j
+                    ref[b, 2 * oh + bi, 2 * ow + bj, c] += w[b, oh, ow, c]
+    np.testing.assert_allclose(g, ref, atol=1e-6)
+    # exact ties: all gradient to the first (row-major) tap
+    gt = np.asarray(jax.grad(
+        lambda xx: jnp.sum(maxpool(xx, size=2, stride=2, pad=0)))(
+            jnp.ones((1, 4, 4, 1), jnp.float32)))
+    assert gt.sum() == 4.0 and np.all(gt[0, 0::2, 0::2, 0] == 1.0)
+    assert np.all(gt[0, 1::2, :, 0] == 0) and np.all(gt[0, :, 1::2, 0] == 0)
+
+
+def test_bn_fast_core_matches_reference_core():
+    """bf16 bandwidth-optimized BN core: same formulas as the f32 core
+    (which is oracle-pinned), error at bf16 quantization level for both
+    the forward and the hand-written backward."""
+    import jax
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.ops.conv import _bn_core, _bn_core_fast
+    rng = np.random.default_rng(12)
+    x32 = (rng.standard_normal((4, 16, 16, 8)) * 2 + 1.5).astype(np.float32)
+    sc = (rng.random(8) + 0.5).astype(np.float32)
+    shift = (rng.standard_normal(8) * 0.1).astype(np.float32)
+    y_r, _, m_r, v_r = _bn_core(jnp.asarray(x32), jnp.asarray(sc))
+    y_f, _, m_f, v_f = _bn_core_fast(
+        jnp.asarray(x32, jnp.bfloat16), jnp.asarray(sc), jnp.asarray(shift))
+    np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_r), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_r), atol=5e-3)
+    assert float(jnp.max(jnp.abs(y_r - y_f.astype(jnp.float32)))) < 0.05
+
+    gx_r, gs_r = jax.grad(
+        lambda x, s: jnp.sum(jnp.sin(_bn_core(x, s)[0])), (0, 1))(
+            jnp.asarray(x32), jnp.asarray(sc))
+    gx_f, gs_f = jax.grad(
+        lambda x, s: jnp.sum(jnp.sin(
+            _bn_core_fast(x, s, jnp.asarray(shift))[0].astype(
+                jnp.float32))), (0, 1))(
+            jnp.asarray(x32, jnp.bfloat16), jnp.asarray(sc))
+    rel = float(jnp.max(jnp.abs(gx_r - gx_f.astype(jnp.float32)))
+                / (jnp.max(jnp.abs(gx_r)) + 1e-9))
+    assert rel < 0.05
+    rels = float(jnp.max(jnp.abs(gs_r - gs_f))
+                 / (jnp.max(jnp.abs(gs_r)) + 1e-9))
+    assert rels < 0.05

@@ -154,6 +154,23 @@ def test_int8_map_delta(tmp_path):
         f"int8 mAP drifted: {map_i8:.4f} vs f32 {map_f32:.4f}")
 
 
+def test_int8_latency_engine_matches_bf16_decode():
+    from sr_object_detection_tpu.infer.engine import LatencyEngine
+    spec = tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    rng = np.random.RandomState(4)
+    calib = rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    frame = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    e_f = LatencyEngine(spec, params, dtype=jnp.float32)
+    e_q = LatencyEngine(spec, params, int8_calib=calib)
+    bf, pf = jax.tree.map(np.asarray, e_f(frame))
+    bq, pq = jax.tree.map(np.asarray, e_q(frame))
+    assert bf.shape == bq.shape and pf.shape == pq.shape
+    # top candidate geometry agrees to quantization tolerance
+    assert np.all(np.isfinite(bq)) and np.all(np.isfinite(pq))
+    assert abs(float(pf.max()) - float(pq.max())) < 0.05
+
+
 def test_quant_rejects_unsupported():
     from sr_object_detection_tpu.models.zoo import cifar_small
     spec = cifar_small(batch=1)
