@@ -96,6 +96,7 @@ def cmd_detect(argv):
 
 
 def cmd_classify(argv):
+    use_int8 = find_arg(argv, "-int8")
     cfg, weights, image = argv[0], argv[1], argv[2]
     from ..infer.classifier import Classifier
     from ..ops.image import load_image_rgb
@@ -104,8 +105,15 @@ def cmd_classify(argv):
     if names_file:
         from ..config import read_names
         names = read_names(names_file)
-    clf = Classifier(cfg, weights, names=names)
-    for idx, p, name in clf.predict_topk(load_image_rgb(image), k=5):
+    img = load_image_rgb(image)
+    calib = None
+    if use_int8:
+        from ..graph.spec import parse_network_cfg
+        from ..ops.image import letterbox_image_np
+        _spec = parse_network_cfg(cfg)
+        calib = letterbox_image_np(img, _spec.net.w, _spec.net.h)[None]
+    clf = Classifier(cfg, weights, names=names, int8_calib=calib)
+    for idx, p, name in clf.predict_topk(img, k=5):
         print(f"{name or idx}: {p:.6f}")
 
 

@@ -25,7 +25,7 @@ from ..ops import image as I
 class Classifier:
     def __init__(self, cfg_path: str, weights_path: Optional[str] = None,
                  *, names: Optional[Sequence[str]] = None,
-                 compute_dtype=None):
+                 compute_dtype=None, int8_calib=None):
         self.spec = S.parse_network_cfg(cfg_path)
         self.compiled = CompiledNetwork(self.spec, compute_dtype=compute_dtype)
         if weights_path:
@@ -33,6 +33,21 @@ class Classifier:
         else:
             self.params, self.seen = init_params(self.spec), 0
         self.params = jax.tree.map(jnp.asarray, self.params)
+        if int8_calib is not None:
+            # int8 trunk + float tail (avgpool/softmax) — see
+            # infer/quant.py; hierarchy decode below is unchanged
+            from .quant import quantize_for_inference
+            qnet = quantize_for_inference(self.spec, self.params,
+                                          np.asarray(int8_calib))
+            self._qnet = qnet
+            trees0 = self.compiled.trees
+
+            class _QuantForward:
+                forward = staticmethod(
+                    lambda params, x, **kw: (qnet.forward(qnet.qparams, x),
+                                             None))
+                trees = trees0
+            self.compiled = _QuantForward()
         self.names = list(names) if names else None
         # hierarchy comes from a [softmax] tree= (parser.c: net.hierarchy)
         self.tree = None

@@ -128,36 +128,81 @@ class QuantizedNetwork:
         self.act_scales = act_scales
 
 
+def _supported_prefix(layers) -> int:
+    """Longest prefix of the layer list the int8 dataflow covers; the
+    remainder (e.g. a classifier's avgpool+softmax tail, darknet19) runs
+    as a float tail on the dequantized trunk output."""
+    t = 0
+    for l in layers:
+        if not isinstance(l, _SUPPORTED):
+            break
+        if isinstance(l, S.ConvSpec) and getattr(l, "xnor", False):
+            break
+        if isinstance(l, S.RouteSpec) and l.out_c <= 0:
+            break
+        t += 1
+    return t
+
+
 def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
                            *, head_dtype=jnp.bfloat16,
                            tree_search_dirs=()) -> QuantizedNetwork:
     """Fold BN, calibrate activation scales on ``calib_x`` (f32 NHWC
     sample batch), quantize weights per-channel, and build the int8
-    forward. Raises NotImplementedError on layer types outside the
-    detection serving set."""
+    forward.
+
+    Detection topologies (conv/maxpool/route/reorg + region) run int8
+    end-to-end with the head conv in ``head_dtype``. Other topologies
+    run an int8 trunk up to the first unsupported layer and a float
+    tail from there (classifier avgpool/softmax tails, cost layers);
+    specs with no quantizable prefix, or with route/shortcut edges
+    crossing the trunk/tail boundary, raise NotImplementedError."""
     params_f, fspec = fold_params_for_inference(spec, params,
                                                 dtype=jnp.float32)
-    for l in fspec.layers:
-        if not isinstance(l, _SUPPORTED):
-            raise NotImplementedError(
-                f"int8 path does not support {type(l).__name__}; "
-                "use the bf16 ThroughputEngine")
-        if isinstance(l, S.ConvSpec) and getattr(l, "xnor", False):
-            raise NotImplementedError("xnor conv has its own binary path")
-        if isinstance(l, S.RouteSpec) and l.out_c <= 0:
-            raise NotImplementedError("flat route unsupported in int8")
+    split = _supported_prefix(fspec.layers)
+    if split < 2:
+        raise NotImplementedError(
+            "no int8-quantizable prefix (first layers unsupported); "
+            "use the bf16 ThroughputEngine")
+    for l in fspec.layers[split:]:
+        if isinstance(l, S.RouteSpec):
+            raise NotImplementedError("route in the float tail")
+        if isinstance(l, S.ShortcutSpec) and l.from_index < split:
+            raise NotImplementedError("shortcut crossing the int8 trunk")
 
     in_amax, amax = calibrate_amax(fspec, params_f, calib_x,
                                    tree_search_dirs=tree_search_dirs)
     heads = _head_conv_indices(fspec)
+    if split < len(fspec.layers) and isinstance(
+            fspec.layers[split - 1], S.ConvSpec):
+        # last trunk conv feeds the float tail (e.g. the 1000-class
+        # 1x1 conv before avgpool+softmax): keep it in head_dtype so
+        # logits don't take an int8 step
+        heads.add(split - 1)
     trees = resolve_trees(fspec, tree_search_dirs)
+
+    tail_fwd = None
+    tail_params = None
+    if split < len(fspec.layers):
+        import dataclasses
+        from ..graph.compiler import build_forward as _build_forward
+        tail_spec = S.NetworkSpec(
+            net=fspec.net, layers=tuple(fspec.layers[split:]),
+            cfg_path=fspec.cfg_path)
+        tail_trees = {i - split: t for i, t in trees.items() if i >= split}
+        tail_fwd = _build_forward(tail_spec, trees=tail_trees,
+                                  compute_dtype=head_dtype)
+        tail_params = [jax.tree.map(
+            lambda a: jnp.asarray(a, head_dtype)
+            if getattr(a, "ndim", 0) >= 1 else a, params_f[i])
+            for i in range(split, len(fspec.layers))]
 
     # ---- static per-layer scale propagation (python floats -> baked
     # constants) and parameter quantization -------------------------
     def scale_of(amax_v: float) -> float:
         return max(amax_v, 1e-8) / I8MAX
 
-    layers = fspec.layers
+    layers = fspec.layers[:split]
     s_out: dict[int, float] = {}       # int8 scale of each layer output
     qparams: list[dict[str, Any]] = []
     in_scale = scale_of(in_amax)
@@ -247,6 +292,12 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
                     tree_groups=tree.group if tree is not None else None)
                 cur = acts.reshape(acts.shape[0], -1)
             saved[i] = cur
+        if tail_fwd is not None:
+            if cur.dtype == jnp.int8:      # trunk ended on an int8 layer
+                cur = (cur.astype(head_dtype)
+                       * jnp.asarray(s_out[split - 1], head_dtype))
+            out, _ = tail_fwd(tail_params, cur)
+            return out
         return cur
 
     return QuantizedNetwork(fspec, qparams, forward, act_scales)

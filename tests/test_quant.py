@@ -171,6 +171,26 @@ def test_int8_latency_engine_matches_bf16_decode():
     assert abs(float(pf.max()) - float(pq.max())) < 0.05
 
 
+def test_int8_classifier_float_tail():
+    """Classifier topologies (darknet19: conv trunk + avgpool + softmax)
+    run an int8 trunk with a float tail; probabilities stay within
+    quantization tolerance of the f32 forward."""
+    from sr_object_detection_tpu.models.zoo import darknet19
+    spec = darknet19(width=128, height=128, classes=100)
+    params = init_params(spec, seed=0)
+    rng = np.random.RandomState(5)
+    x = rng.uniform(0, 1, (2, 128, 128, 3)).astype(np.float32)
+
+    ref = _f32_region_out(spec, params, x)      # full f32 forward
+    qnet = quantize_for_inference(spec, params, x)
+    got = np.asarray(qnet.forward(qnet.qparams, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got.sum(axis=-1), 1.0, atol=1e-2)
+    assert np.abs(got - ref).mean() < 1e-3      # softmax probs
+    # the trunk is genuinely quantized (int8 weights present)
+    assert any("dequant" in p for p in qnet.qparams if p)
+
+
 def test_quant_rejects_unsupported():
     from sr_object_detection_tpu.models.zoo import cifar_small
     spec = cifar_small(batch=1)
