@@ -36,18 +36,9 @@ class Classifier:
         if int8_calib is not None:
             # int8 trunk + float tail (avgpool/softmax) — see
             # infer/quant.py; hierarchy decode below is unchanged
-            from .quant import quantize_for_inference
-            qnet = quantize_for_inference(self.spec, self.params,
-                                          np.asarray(int8_calib))
-            self._qnet = qnet
-            trees0 = self.compiled.trees
-
-            class _QuantForward:
-                forward = staticmethod(
-                    lambda params, x, **kw: (qnet.forward(qnet.qparams, x),
-                                             None))
-                trees = trees0
-            self.compiled = _QuantForward()
+            from .quant import QuantizedForwardShim
+            self.compiled = QuantizedForwardShim(
+                self.spec, self.params, int8_calib, self.compiled.trees)
         self.names = list(names) if names else None
         # hierarchy comes from a [softmax] tree= (parser.c: net.hierarchy)
         self.tree = None

@@ -62,17 +62,9 @@ class Detector:
             # sample batch and swap the forward for the quantized program
             # (infer/quant.py); decode below is unchanged — the head conv
             # and region stay in float.
-            from .quant import quantize_for_inference
-            qnet = quantize_for_inference(self.spec, self.params,
-                                          np.asarray(int8_calib))
-            self._qnet = qnet
-
-            class _QuantForward:
-                forward = staticmethod(
-                    lambda params, x, **kw: (qnet.forward(qnet.qparams, x),
-                                             None))
-                trees = self.compiled.trees
-            self.compiled = _QuantForward()
+            from .quant import QuantizedForwardShim
+            self.compiled = QuantizedForwardShim(
+                self.spec, self.params, int8_calib, self.compiled.trees)
         self.names = list(names) if names else None
         self.letterbox = letterbox
         self.nms_topk = nms_topk

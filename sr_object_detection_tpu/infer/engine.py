@@ -198,6 +198,76 @@ class ThroughputEngine:
         }
 
 
+class ShardedThroughputEngine:
+    """Multi-chip batched inference: the batch is sharded over the mesh
+    'data' axis (pure DP — zero collectives in the forward) and wide
+    conv filters can shard over 'model' (TP; XLA inserts the psum over
+    ICI where the row-parallel fallback needs it — see
+    parallel.mesh.shard_params).
+
+    The serving-side counterpart of the trainer's mesh path; the
+    reference has no multi-GPU inference at all (its -gpus flag only
+    affects training, src_yolo2/detector.c:611-632).
+    """
+
+    def __init__(self, spec: S.NetworkSpec, params, *, mesh,
+                 batch: int = 128, dtype=jnp.bfloat16,
+                 tp_min_filters: int = 2048):
+        from ..parallel.mesh import batch_sharding, shard_params
+        if batch % mesh.shape["data"]:
+            raise ValueError(
+                f"batch {batch} not divisible by data axis "
+                f"{mesh.shape['data']}")
+        self.mesh = mesh
+        self.batch = batch
+        self.dtype = dtype
+        self.params, self.spec = fold_params_for_inference(
+            spec, params, dtype)
+        self.params = shard_params(mesh, self.params, self.spec,
+                                   tp_min_filters=tp_min_filters)
+        compiled = CompiledNetwork(self.spec, compute_dtype=dtype)
+        fwd = compiled.forward
+        bs = batch_sharding(mesh)
+
+        @partial(jax.jit, in_shardings=(None, bs), out_shardings=bs)
+        def run(params, x):
+            out, _ = fwd(params, x.astype(dtype))
+            return out
+
+        @partial(jax.jit, in_shardings=(None, bs))
+        def run_sum(params, x):
+            out, _ = fwd(params, x.astype(dtype))
+            return jnp.sum(out.astype(jnp.float32))
+
+        self._run = run
+        self._run_sum = run_sum
+        self.input_shape = (batch, spec.net.h, spec.net.w, spec.net.c)
+
+    def warmup(self):
+        with self.mesh:
+            float(self._run_sum(self.params,
+                                jnp.zeros(self.input_shape, self.dtype)))
+
+    def __call__(self, x):
+        with self.mesh:
+            return self._run(self.params, x)
+
+    def benchmark(self, iters: int = 50, warmup: int = 5) -> dict:
+        x = jnp.asarray(np.random.uniform(
+            0, 1, self.input_shape).astype(np.float32), self.dtype)
+        with self.mesh:
+            for _ in range(warmup):
+                float(self._run_sum(self.params, x))
+            start = time.perf_counter()
+            s = None
+            for _ in range(iters):
+                s = self._run_sum(self.params, x)
+            float(s)
+        dt = time.perf_counter() - start
+        return {"images_per_sec": iters * self.batch / dt,
+                "sec_per_batch": dt / iters, "batch": self.batch}
+
+
 class LatencyEngine:
     """Batch-1 low-latency path with on-device preprocessing.
 
@@ -349,5 +419,5 @@ def analytic_flops(spec: S.NetworkSpec) -> float:
     return total
 
 
-__all__ = ["ThroughputEngine", "LatencyEngine", "fold_params_for_inference",
-           "analytic_flops"]
+__all__ = ["ThroughputEngine", "LatencyEngine", "ShardedThroughputEngine",
+           "fold_params_for_inference", "analytic_flops"]

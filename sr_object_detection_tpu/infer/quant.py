@@ -303,6 +303,23 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
     return QuantizedNetwork(fspec, qparams, forward, act_scales)
 
 
+class QuantizedForwardShim:
+    """Drop-in replacement for the ``compiled`` attribute of Detector /
+    Classifier: same ``forward(params, x) -> (out, aux)`` surface, but
+    running the int8 program (the passed-in params are ignored — the
+    quantized constants are baked in)."""
+
+    def __init__(self, spec: S.NetworkSpec, params, calib_x, trees,
+                 *, tree_search_dirs=()):
+        qnet = quantize_for_inference(spec, params, np.asarray(calib_x),
+                                      tree_search_dirs=tree_search_dirs)
+        self.qnet = qnet
+        self.trees = trees
+
+    def forward(self, params, x, **kw):
+        return self.qnet.forward(self.qnet.qparams, x), None
+
+
 class QuantizedThroughputEngine:
     """Batched int8 serving engine; same interface/benchmark protocol
     as :class:`ThroughputEngine` (checksum readback — see there for why

@@ -179,3 +179,36 @@ def test_tp_sharded_wide_conv_forward():
         got, _ = jax.jit(lambda p, x: fwd(p, x))(sharded, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_inference_engine_matches_single_device():
+    """ShardedThroughputEngine: DP batch sharding (and TP on wide convs
+    at mp=2) must reproduce the single-device forward exactly — the
+    serving-side analog of the DP==single-device training equivalence."""
+    import jax
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.infer.engine import (
+        ShardedThroughputEngine, ThroughputEngine)
+    from sr_object_detection_tpu.io.weights import init_params
+    from sr_object_detection_tpu.models.zoo import tiny_yolo_voc
+    from sr_object_detection_tpu.parallel.mesh import make_mesh
+
+    spec = tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    x = jnp.asarray(
+        np.random.RandomState(0).uniform(0, 1, (8, 64, 64, 3)),
+        jnp.float32)
+
+    ref = ThroughputEngine(spec, params, batch=8, dtype=jnp.float32)
+    out_ref = np.asarray(ref(x))
+
+    for mp in (1, 2):
+        mesh = make_mesh(8 if mp == 1 else 8, model_parallel=mp)
+        eng = ShardedThroughputEngine(
+            spec, params, mesh=mesh, batch=8, dtype=jnp.float32,
+            tp_min_filters=256)
+        out = np.asarray(eng(x))
+        np.testing.assert_allclose(out, out_ref, rtol=2e-5, atol=2e-5,
+                                   err_msg=f"mp={mp}")
+        r = eng.benchmark(iters=2, warmup=1)
+        assert r["images_per_sec"] > 0
