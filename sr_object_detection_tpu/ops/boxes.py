@@ -105,10 +105,15 @@ def _grouped_softmax_matmul(logits, gids: np.ndarray):
     z = jnp.maximum((logits - vmax).astype(jnp.float32), -80.0)
     e32 = jnp.exp(z)
     e = e32.astype(logits.dtype)
-    gsum = jnp.dot(e, jnp.asarray(m, logits.dtype),
-                   preferred_element_type=jnp.float32)
-    denom = jnp.take(gsum, jnp.asarray(gids), axis=-1)
-    return (e32 / denom).astype(logits.dtype)
+    mj = jnp.asarray(m, logits.dtype)
+    gsum = jnp.dot(e, mj, preferred_element_type=jnp.float32)
+    # expand the per-group reciprocal back to classes with a SECOND
+    # membership matmul: a lane-dim gather here lowers to ~3x the
+    # matmul's cost in transposes/copies on TPU (profiled), while the
+    # matmul fuses into the surrounding elementwise work
+    inv = jnp.dot((1.0 / gsum).astype(logits.dtype), mj.T,
+                  preferred_element_type=jnp.float32)
+    return (e32 * inv).astype(logits.dtype)
 
 
 def _softmax_buckets(gids: np.ndarray, buckets=(4, 16, 64, 256)):
