@@ -95,25 +95,46 @@ def _grouped_softmax_matmul(logits, gids: np.ndarray):
     from flushing to 0/0 (its probs degrade toward uniform exactly
     where objectness gating discards them anyway; unreachable in f32
     parity tests)."""
-    key = (gids.tobytes(), len(gids))
+    c = len(gids)
+    g = int(gids.max()) + 1
+    chunk = 1024
+    key = (gids.tobytes(), c, chunk)
     if key not in _SOFTMAX_MEMBER_CACHE:
-        m = np.zeros((len(gids), int(gids.max()) + 1), np.float32)
-        m[np.arange(len(gids)), gids] = 1.0
-        _SOFTMAX_MEMBER_CACHE[key] = m
-    m = _SOFTMAX_MEMBER_CACHE[key]
+        # monotone group ids make the membership matrix a STAIRCASE
+        # band: classes [a,b) only touch groups [gids[a], gids[b-1]] —
+        # chunking the class axis turns one (C x G) matmul into ~C/1024
+        # narrow band matmuls, ~8x fewer MACs at the 9k-tree density
+        blocks = []
+        for a in range(0, c, chunk):
+            b = min(a + chunk, c)
+            lo, hi = int(gids[a]), int(gids[b - 1]) + 1
+            m = np.zeros((b - a, hi - lo), np.float32)
+            m[np.arange(b - a), gids[a:b] - lo] = 1.0
+            blocks.append((a, b, lo, hi, m))
+        _SOFTMAX_MEMBER_CACHE[key] = blocks
+    blocks = _SOFTMAX_MEMBER_CACHE[key]
+
     vmax = jnp.max(logits, axis=-1, keepdims=True)
     z = jnp.maximum((logits - vmax).astype(jnp.float32), -80.0)
     e32 = jnp.exp(z)
     e = e32.astype(logits.dtype)
-    mj = jnp.asarray(m, logits.dtype)
-    gsum = jnp.dot(e, mj, preferred_element_type=jnp.float32)
-    # expand the per-group reciprocal back to classes with a SECOND
-    # membership matmul: a lane-dim gather here lowers to ~3x the
-    # matmul's cost in transposes/copies on TPU (profiled), while the
-    # matmul fuses into the surrounding elementwise work
-    inv = jnp.dot((1.0 / gsum).astype(logits.dtype), mj.T,
-                  preferred_element_type=jnp.float32)
-    return (e32 * inv).astype(logits.dtype)
+    lead = logits.shape[:-1]
+    # band matmuls -> per-group sums (boundary-spanning groups get
+    # contributions from both adjacent chunks; sums just add)
+    gsum = jnp.zeros((*lead, g), jnp.float32)
+    for a, b, lo, hi, m in blocks:
+        part = jnp.dot(e[..., a:b], jnp.asarray(m, logits.dtype),
+                       preferred_element_type=jnp.float32)
+        gsum = gsum.at[..., lo:hi].add(part)
+    # expand the per-group reciprocal back to classes with the SAME
+    # band matmuls transposed: a lane-dim gather here lowers to ~3x the
+    # matmul's cost in transposes/copies on TPU (profiled), while
+    # matmuls fuse into the surrounding elementwise work
+    inv = (1.0 / gsum).astype(logits.dtype)
+    parts = [jnp.dot(inv[..., lo:hi], jnp.asarray(m.T, logits.dtype),
+                     preferred_element_type=jnp.float32)
+             for a, b, lo, hi, m in blocks]
+    return (e32 * jnp.concatenate(parts, axis=-1)).astype(logits.dtype)
 
 
 def _softmax_buckets(gids: np.ndarray, buckets=(4, 16, 64, 256)):
