@@ -323,6 +323,12 @@ class RegionSpec(LayerSpec):
     noobject_scale: float = 1.0
     class_scale: float = 1.0
     bias_match: bool = False
+    # engine-internal (never parsed from cfg): per-anchor channel block
+    # of a lane-ALIGNED head layout — [coords+1 fields | pad to 128 |
+    # classes | pad] — produced by infer.engine.align_region_head so
+    # the (B,H,W,A,block) reshape and the class slice are tile-aligned
+    # (0 = darknet-contiguous layout)
+    head_block: int = 0
 
 
 @dataclass(frozen=True)

@@ -123,12 +123,75 @@ def fuse_conv_pool(spec: S.NetworkSpec, params):
                          cfg_path=spec.cfg_path), new_params
 
 
+def align_region_head(spec: S.NetworkSpec, params, *,
+                      min_classes: int = 1024):
+    """Graph rewrite: re-lay the region head conv's output channels so
+    each anchor's block is 128-lane aligned — [coords+1 fields |
+    zero-pad to 128 | classes | zero-pad to a 128 multiple].
+
+    Why: the darknet-contiguous head (A*(coords+1+classes) channels,
+    e.g. yolo9000's 3*9423 = 28269) puts every anchor's class run at a
+    misaligned lane offset, and the (B,H,W,A,F) reshape + class slices
+    around the tree softmax each lower to full-tensor relayout copies
+    (~20% of a yolo9000-416 batch). Padding the conv (~+1.9% head
+    FLOPs) makes those reshapes free. Output order is unchanged
+    (region_activate_aligned reassembles darknet field order).
+
+    Only worthwhile for big heads — small ones (125ch tiny-yolo) fit a
+    couple of tiles outright; gated by ``min_classes``.
+
+    MEASURED WASH on v5e after the banded-matmul tree softmax landed:
+    1279 vs 1280 img/s on yolo9000-416 — the remaining relayouts sit at
+    the darknet-order output boundary, which this rewrite cannot remove
+    without changing the output contract, and the +1.9% head FLOPs eat
+    the rest. Kept as an exactness-tested opt-in (align_head=True);
+    off by default.
+    """
+    import dataclasses
+    region = spec.layers[-1]
+    head = spec.layers[-2] if len(spec.layers) >= 2 else None
+    nf = region.coords + region.classes + 1 if isinstance(
+        region, S.RegionSpec) else 0
+    if (not isinstance(region, S.RegionSpec)
+            or region.classes < min_classes
+            or not isinstance(head, S.ConvSpec)
+            or head.batch_normalize          # fold BN first
+            or head.filters != region.n * nf):
+        return spec, params
+    fields = region.coords + 1
+    cls_pad = -(-region.classes // 128) * 128
+    block = 128 + cls_pad
+    w = np.asarray(params[-2]["weights"])        # HWIO
+    bias = np.asarray(params[-2]["biases"])
+    w2 = np.zeros((*w.shape[:3], region.n * block), w.dtype)
+    b2 = np.zeros((region.n * block,), bias.dtype)
+    for a in range(region.n):
+        src = a * nf
+        dst = a * block
+        w2[..., dst:dst + fields] = w[..., src:src + fields]
+        b2[dst:dst + fields] = bias[src:src + fields]
+        w2[..., dst + 128:dst + 128 + region.classes] = \
+            w[..., src + fields:src + nf]
+        b2[dst + 128:dst + 128 + region.classes] = bias[src + fields:src + nf]
+    new_head = dataclasses.replace(
+        head, filters=region.n * block, out_c=region.n * block,
+        outputs=head.out_h * head.out_w * region.n * block)
+    new_region = dataclasses.replace(
+        region, c=region.n * block, head_block=block,
+        inputs=region.h * region.w * region.n * block)
+    new_layers = (*spec.layers[:-2], new_head, new_region)
+    new_params = list(params)
+    new_params[-2] = {"weights": w2, "biases": b2}
+    return S.NetworkSpec(net=spec.net, layers=new_layers,
+                         cfg_path=spec.cfg_path), new_params
+
+
 class ThroughputEngine:
     """Batched jitted forward for maximum images/sec."""
 
     def __init__(self, spec: S.NetworkSpec, params, *, batch: int = 64,
                  dtype=jnp.bfloat16, fold_bn: bool = True,
-                 fuse_pool: bool = False):
+                 fuse_pool: bool = False, align_head: bool = False):
         # fuse_pool: polyphase conv+pool rewrite (fuse_conv_pool). Exact
         # and correctness-tested, but MEASURED SLOWER on v5e (XLA's
         # native small-channel conv path beats the 1.78x-MACs polyphase
@@ -144,6 +207,12 @@ class ThroughputEngine:
             self.spec = spec
         if fuse_pool:
             self.spec, self.params = fuse_conv_pool(self.spec, self.params)
+            self.params = jax.tree.map(
+                lambda a: jnp.asarray(a, dtype)
+                if getattr(a, "ndim", 0) >= 1 else a, self.params)
+        if align_head and fold_bn:
+            self.spec, self.params = align_region_head(self.spec,
+                                                       self.params)
             self.params = jax.tree.map(
                 lambda a: jnp.asarray(a, dtype)
                 if getattr(a, "ndim", 0) >= 1 else a, self.params)

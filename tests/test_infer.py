@@ -156,3 +156,33 @@ def test_hierarchy_walk_semantics():
     # none above .5 -> everything zeroed
     out2 = np.asarray(_hierarchy_walk(jnp.asarray([0.4, 0.3, 0.2])))
     assert (out2 == 0).all()
+
+
+def test_align_region_head_exactness():
+    """align_region_head (lane-aligned yolo9000 head layout) must be an
+    exact graph rewrite: same output, darknet field order, to float
+    tolerance of the weight permutation (bit-exact in f32)."""
+    import jax
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.infer.engine import (
+        ThroughputEngine, align_region_head)
+    from sr_object_detection_tpu.io.weights import fast_init_params
+    from sr_object_detection_tpu.models.zoo import yolo9000
+
+    spec = yolo9000(width=128, height=128,
+                    tree_file="/root/reference/cfg/9k.tree",
+                    map_file=None)
+    params = fast_init_params(spec, seed=0)
+    x = jnp.asarray(np.random.RandomState(0).uniform(
+        0, 1, (2, 128, 128, 3)), jnp.float32)
+
+    plain = ThroughputEngine(spec, params, batch=2, dtype=jnp.float32,
+                             align_head=False)
+    aligned = ThroughputEngine(spec, params, batch=2, dtype=jnp.float32,
+                               align_head=True)
+    # the rewrite must actually have triggered
+    from sr_object_detection_tpu.graph import spec as S
+    assert aligned.spec.layers[-1].head_block == 128 + 9472
+    out_p = np.asarray(plain(x))
+    out_a = np.asarray(aligned(x))
+    np.testing.assert_allclose(out_a, out_p, rtol=1e-6, atol=1e-6)
