@@ -184,7 +184,6 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
     tail_fwd = None
     tail_params = None
     if split < len(fspec.layers):
-        import dataclasses
         from ..graph.compiler import build_forward as _build_forward
         tail_spec = S.NetworkSpec(
             net=fspec.net, layers=tuple(fspec.layers[split:]),
