@@ -131,7 +131,10 @@ def cmd_gemm(argv):
 
 
 def cmd_speed(argv):
-    """darknet.c:98-113: time `tics` forwards, print sec/eval and Hz."""
+    """darknet.c:98-113: time `tics` forwards, print sec/eval and Hz.
+    `-batch N` widens the eval; `-int8` uses the quantized engine."""
+    use_int8 = find_arg(argv, "-int8")
+    batch = find_value(argv, "-batch", 1, int)
     cfg = argv[0]
     tics = int(argv[1]) if len(argv) > 1 else 20
     import jax.numpy as jnp
@@ -140,12 +143,19 @@ def cmd_speed(argv):
     from ..infer.engine import ThroughputEngine
     spec = parse_network_cfg(cfg)
     params = init_params(spec)
-    eng = ThroughputEngine(spec, params, batch=1, dtype=jnp.bfloat16)
+    if use_int8:
+        from ..infer.quant import QuantizedThroughputEngine
+        eng = QuantizedThroughputEngine(spec, params, batch=batch)
+    else:
+        eng = ThroughputEngine(spec, params, batch=batch,
+                               dtype=jnp.bfloat16)
     eng.warmup()
     r = eng.benchmark(iters=tics)
     sec = r["sec_per_batch"]
     print(f"Speed: {sec:f} sec/eval")
     print(f"Speed: {1.0/sec:f} Hz")
+    if batch > 1:
+        print(f"Speed: {r['images_per_sec']:.1f} images/sec (batch {batch})")
 
 
 def cmd_ops(argv):
