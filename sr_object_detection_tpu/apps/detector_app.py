@@ -111,15 +111,27 @@ def validate_detector(data_cfg: str, cfg: str, weights: str,
     os.makedirs(outdir, exist_ok=True)
     thresh = find_value(argv, "-thresh", 0.005, float)
     nms = find_value(argv, "-nms", 0.45, float)
+    use_int8 = find_arg(argv, "-int8")
 
-    det = Detector(cfg, weights, names=names)
+    with open(valid_list) as f:
+        all_paths = [l.strip() for l in f if l.strip()]
+    calib = None
+    if use_int8:
+        # int8 serving validation: calibrate activation scales on the
+        # first few validation images (infer/quant.py); v2 valid uses
+        # plain resize, not letterbox (detector.c:483)
+        from ..ops.image import resize_image_np
+        net = parse_network_cfg(cfg).net
+        calib = np.stack([
+            resize_image_np(load_image_rgb(p), net.w, net.h)
+            for p in all_paths[:8]])
+    det = Detector(cfg, weights, names=names, int8_calib=calib)
     classes = det.region.classes
     if names is None:
         names = [str(i) for i in range(classes)]
     files = {n: open(os.path.join(outdir, f"{prefix}{n}.txt"), "w")
              for n in names}
-    with open(valid_list) as f:
-        paths = [l.strip() for l in f if l.strip()]
+    paths = all_paths
     t0 = time.time()
     for k, path in enumerate(paths):
         img = load_image_rgb(path)
