@@ -57,6 +57,32 @@ _MONOTONIC_ACTS = {"leaky", "relu", "linear", "logistic", "relie",
                    "ramp", "tanh", "elu", "hardtan", "lhtan", "loggy"}
 
 
+def checksum_benchmark(run_sum, input_shape, batch, *, iters: int,
+                       warmup: int, dtype=jnp.float32, mesh=None) -> dict:
+    """Shared steady-state throughput protocol (the darknet 'speed'
+    analog): device-resident input, `iters` queued dispatches of a
+    checksum program, ONE hard host sync at the end. `run_sum` must
+    reduce the full forward to a scalar — on tunneled deployments
+    block_until_ready returns early, so the 4-byte host read of a value
+    that data-depends on every output element is the only honest sync.
+    """
+    import contextlib
+    x = jnp.asarray(np.random.uniform(
+        0, 1, input_shape).astype(np.float32), dtype)
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
+    with ctx:
+        for _ in range(warmup):
+            float(run_sum(x))
+        start = time.perf_counter()
+        s = None
+        for _ in range(iters):
+            s = run_sum(x)
+        float(s)
+    dt = time.perf_counter() - start
+    return {"images_per_sec": iters * batch / dt,
+            "sec_per_batch": dt / iters, "batch": batch}
+
+
 def fuse_conv_pool(spec: S.NetworkSpec, params):
     """Graph rewrite: [conv 3x3/s1/p1 (monotonic act) -> maxpool 2x2/s2]
     becomes one FusedConvPoolSpec (polyphase stride-2 4x4 conv + phase
@@ -246,25 +272,9 @@ class ThroughputEngine:
         return self._run(self.params, x)
 
     def benchmark(self, iters: int = 50, warmup: int = 5) -> dict:
-        """Steady-state chip throughput: device-resident input, queued
-        dispatches, one hard host sync at the end (the analog of darknet
-        'speed' timing repeated network_predict on one buffer)."""
-        x = jnp.asarray(np.random.uniform(
-            0, 1, self.input_shape).astype(np.float32), self.dtype)
-        for _ in range(warmup):
-            float(self._run_sum(self.params, x))
-        start = time.perf_counter()
-        s = None
-        for _ in range(iters):
-            s = self._run_sum(self.params, x)
-        float(s)  # 4-byte host read -> true completion of the whole queue
-        dt = time.perf_counter() - start
-        imgs = iters * self.batch
-        return {
-            "images_per_sec": imgs / dt,
-            "sec_per_batch": dt / iters,
-            "batch": self.batch,
-        }
+        return checksum_benchmark(
+            lambda x: self._run_sum(self.params, x), self.input_shape,
+            self.batch, iters=iters, warmup=warmup, dtype=self.dtype)
 
 
 class ShardedThroughputEngine:
@@ -322,19 +332,10 @@ class ShardedThroughputEngine:
             return self._run(self.params, x)
 
     def benchmark(self, iters: int = 50, warmup: int = 5) -> dict:
-        x = jnp.asarray(np.random.uniform(
-            0, 1, self.input_shape).astype(np.float32), self.dtype)
-        with self.mesh:
-            for _ in range(warmup):
-                float(self._run_sum(self.params, x))
-            start = time.perf_counter()
-            s = None
-            for _ in range(iters):
-                s = self._run_sum(self.params, x)
-            float(s)
-        dt = time.perf_counter() - start
-        return {"images_per_sec": iters * self.batch / dt,
-                "sec_per_batch": dt / iters, "batch": self.batch}
+        return checksum_benchmark(
+            lambda x: self._run_sum(self.params, x), self.input_shape,
+            self.batch, iters=iters, warmup=warmup, dtype=self.dtype,
+            mesh=self.mesh)
 
 
 class LatencyEngine:

@@ -30,7 +30,6 @@ bf16 ThroughputEngine is the general path.
 
 from __future__ import annotations
 
-import time
 from typing import Any, Optional
 
 import jax
@@ -54,24 +53,11 @@ def _requant(v_f32, inv_scale):
 
 
 def _maxpool_q(x, *, size: int, stride: int, pad: int):
-    """Darknet maxpool on int8 (ops.pooling.maxpool uses a -inf pad
-    identity, which has no int8 encoding — use iinfo.min instead)."""
-    from jax import lax
-    h, w = x.shape[1], x.shape[2]
-    out_h = (h + 2 * pad) // stride
-    out_w = (w + 2 * pad) // stride
-    if size == stride and pad == 0 and h % size == 0 and w % size == 0:
-        b, _, _, c = x.shape
-        v = x.reshape(b, out_h, size, out_w, size, c)
-        return jnp.max(v, axis=(2, 4))
-    pad_b = max(0, (out_h - 1) * stride + size - h - pad)
-    pad_r = max(0, (out_w - 1) * stride + size - w - pad)
-    y = lax.reduce_window(
-        x, jnp.array(jnp.iinfo(x.dtype).min, x.dtype), lax.max,
-        window_dimensions=(1, size, size, 1),
-        window_strides=(1, stride, stride, 1),
-        padding=((0, 0), (pad, pad_b), (pad, pad_r), (0, 0)))
-    return y[:, :out_h, :out_w, :]
+    """Darknet maxpool on int8: same geometry as ops.pooling.maxpool
+    with an int-encodable pad identity (-inf has no int8 encoding)."""
+    from ..ops.pooling import maxpool
+    return maxpool(x, size=size, stride=stride, pad=pad,
+                   pad_value=jnp.array(jnp.iinfo(x.dtype).min, x.dtype))
 
 
 def _conv_i8(x_q, w_q, *, stride: int, pad: int):
@@ -169,6 +155,15 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
             raise NotImplementedError("route in the float tail")
         if isinstance(l, S.ShortcutSpec) and l.from_index < split:
             raise NotImplementedError("shortcut crossing the int8 trunk")
+    if split == len(fspec.layers) \
+            and isinstance(fspec.layers[-1], S.RegionSpec) \
+            and not isinstance(fspec.layers[-2], S.ConvSpec):
+        # the int8 trunk dequantizes the head input by keeping the conv
+        # before [region] in float; any other producer would hand the
+        # decode raw int8 codes (a region inside the float tail is fine
+        # — the tail runs fully in float)
+        raise NotImplementedError(
+            "int8 path: [region] must be fed by a conv layer")
 
     in_amax, amax = calibrate_amax(fspec, params_f, calib_x,
                                    tree_search_dirs=tree_search_dirs)
@@ -185,9 +180,13 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
     tail_params = None
     if split < len(fspec.layers):
         from ..graph.compiler import build_forward as _build_forward
+        import dataclasses
+        tail_layers = tuple(
+            dataclasses.replace(l, from_index=l.from_index - split)
+            if isinstance(l, S.ShortcutSpec) else l
+            for l in fspec.layers[split:])
         tail_spec = S.NetworkSpec(
-            net=fspec.net, layers=tuple(fspec.layers[split:]),
-            cfg_path=fspec.cfg_path)
+            net=fspec.net, layers=tail_layers, cfg_path=fspec.cfg_path)
         tail_trees = {i - split: t for i, t in trees.items() if i >= split}
         tail_fwd = _build_forward(tail_spec, trees=tail_trees,
                                   compute_dtype=head_dtype)
@@ -329,6 +328,14 @@ class QuantizedThroughputEngine:
                  tree_search_dirs=()):
         self.batch = batch
         if calib_x is None:
+            # benchmark convenience only: noise calibration bears no
+            # relation to real-image activation ranges — serving MUST
+            # pass representative preprocessed frames
+            import warnings
+            warnings.warn(
+                "QuantizedThroughputEngine: no calib_x given; "
+                "calibrating on random noise (fine for benchmarks, "
+                "wrong for serving accuracy)", stacklevel=2)
             rng = np.random.RandomState(0)
             calib_x = rng.uniform(
                 0, 1, (min(batch, 8), spec.net.h, spec.net.w,
@@ -358,18 +365,9 @@ class QuantizedThroughputEngine:
         return self._run(x)
 
     def benchmark(self, iters: int = 50, warmup: int = 5) -> dict:
-        x = jnp.asarray(np.random.uniform(
-            0, 1, self.input_shape).astype(np.float32))
-        for _ in range(warmup):
-            float(self._run_sum(x))
-        start = time.perf_counter()
-        s = None
-        for _ in range(iters):
-            s = self._run_sum(x)
-        float(s)
-        dt = time.perf_counter() - start
-        return {"images_per_sec": iters * self.batch / dt,
-                "sec_per_batch": dt / iters, "batch": self.batch}
+        from .engine import checksum_benchmark
+        return checksum_benchmark(self._run_sum, self.input_shape,
+                                  self.batch, iters=iters, warmup=warmup)
 
 
 __all__ = ["quantize_for_inference", "QuantizedNetwork",

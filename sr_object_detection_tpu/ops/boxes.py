@@ -97,7 +97,10 @@ def grouped_softmax(logits, group_ids):
     # matmul+take 10.5ms vs segment-op scatter 24.4ms vs padded-bucket
     # gather 15.0ms. Non-contiguous ids (not produced by tree files)
     # fall back to the scatter lowering.
-    if np.all(np.diff(gids) >= 0):
+    d = np.diff(gids)
+    if len(gids) and gids[0] == 0 and np.all((d >= 0) & (d <= 1)):
+        # contiguous AND gapless: an empty group would make its
+        # reciprocal inf and NaN the whole chunk in the band matmul
         return _grouped_softmax_matmul(logits, gids)
     return _grouped_softmax_scatter(logits, gids)
 

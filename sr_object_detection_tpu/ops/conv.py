@@ -168,7 +168,11 @@ def _bn_core_fast(x, scales, shift):
     sx = jnp.sum(xs, axis=reduce_axes)
     sxx = jnp.sum(jnp.square(xs), axis=reduce_axes)
     mean = shift + sx / n
-    var = (sxx - jnp.square(sx) / n) / max(n - 1, 1)
+    # clamp: on a near-constant channel the sxx - sx^2/n cancellation
+    # can round NEGATIVE in f32, and sqrt(var) = NaN would poison the
+    # whole train step (the two-pass core can never go negative)
+    var = jnp.maximum(
+        (sxx - jnp.square(sx) / n) / max(n - 1, 1), 0.0)
     inv = 1.0 / (jnp.sqrt(var) + BN_EPS)
     x_hat = (x.astype(f32) - mean) * inv
     y = (x_hat * scales).astype(x.dtype)

@@ -61,8 +61,9 @@ def _tiled_maxpool_bwd(size, x, g):
 _tiled_maxpool.defvjp(_tiled_maxpool_fwd, _tiled_maxpool_bwd)
 
 
-def maxpool(x, *, size: int, stride: int, pad: int):
-    """Darknet maxpool. x: NHWC."""
+def maxpool(x, *, size: int, stride: int, pad: int, pad_value=None):
+    """Darknet maxpool. x: NHWC. ``pad_value`` overrides the -inf pad
+    identity for dtypes without one (the int8 path passes iinfo.min)."""
     h, w = x.shape[1], x.shape[2]
     out_h = (h + 2 * pad) // stride
     out_w = (w + 2 * pad) // stride
@@ -80,7 +81,7 @@ def maxpool(x, *, size: int, stride: int, pad: int):
     pad_r = max(0, (out_w - 1) * stride + size - w - pad)
     y = lax.reduce_window(
         x,
-        -jnp.inf,
+        -jnp.inf if pad_value is None else pad_value,
         lax.max,
         window_dimensions=(1, size, size, 1),
         window_strides=(1, stride, stride, 1),

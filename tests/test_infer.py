@@ -1,5 +1,7 @@
 """Inference pipeline tests: detector decode path, engines, zoo."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -158,6 +160,9 @@ def test_hierarchy_walk_semantics():
     assert (out2 == 0).all()
 
 
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/cfg/9k.tree"),
+    reason="reference 9k.tree not available")
 def test_align_region_head_exactness():
     """align_region_head (lane-aligned yolo9000 head layout) must be an
     exact graph rewrite: same output, darknet field order, to float

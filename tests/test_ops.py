@@ -269,3 +269,33 @@ def test_bn_fast_core_matches_reference_core():
     rels = float(jnp.max(jnp.abs(gs_r - gs_f))
                  / (jnp.max(jnp.abs(gs_r)) + 1e-9))
     assert rels < 0.05
+
+
+def test_grouped_softmax_gapped_ids_fall_back_finite():
+    """Monotone-but-gapped group ids (empty group) must not hit the
+    band-matmul path (1/0 -> NaN chunk); the scatter fallback handles
+    them."""
+    import jax.numpy as jnp
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((4, 4)),
+                    jnp.float32)
+    got = np.asarray(B.grouped_softmax(x, np.array([0, 0, 2, 2])))
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got[:, :2].sum(-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(got[:, 2:].sum(-1), 1.0, rtol=1e-5)
+
+
+def test_bn_fast_core_constant_channel_no_nan():
+    """Near-constant channels must not produce negative variance (f32
+    cancellation in the single-pass moments) and NaN through sqrt."""
+    import jax
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.ops.conv import _bn_core_fast
+    x = jnp.full((8, 32, 32, 4), 3.0, jnp.bfloat16)
+    sc = jnp.ones((4,), jnp.float32)
+    shift = jnp.full((4,), -2.0, jnp.float32)   # offset from the data
+    y, _, mean, var = _bn_core_fast(x, sc, shift)
+    assert np.all(np.asarray(var) >= 0)
+    assert np.all(np.isfinite(np.asarray(y, np.float32)))
+    g = jax.grad(lambda xx: jnp.sum(
+        _bn_core_fast(xx, sc, shift)[0].astype(jnp.float32)))(x)
+    assert np.all(np.isfinite(np.asarray(g, np.float32)))
