@@ -18,7 +18,11 @@ tracking natively — the process-boundary analog of the reference's
 in-process yolo_v2_class DLL (yolo_v2_class.cpp:173-304).
 
 Usage: python -m sr_object_detection_tpu.infer.serve <cfg> <weights>
-       [--cpu]
+       [--cpu] [--int8]
+
+--int8 serves the quantized engine (infer/quant.py), calibrating the
+activation scales on the FIRST frame the client sends — send a
+representative frame first.
 """
 
 from __future__ import annotations
@@ -35,6 +39,9 @@ def main(argv=None):
     use_cpu = "--cpu" in argv
     if use_cpu:
         argv.remove("--cpu")
+    use_int8 = "--int8" in argv
+    if use_int8:
+        argv.remove("--int8")
     if len(argv) < 2:
         print(__doc__, file=sys.stderr)
         return 1
@@ -75,6 +82,10 @@ def main(argv=None):
             return 0
         img = np.frombuffer(buf, "<f4").reshape(h, w, c)
         x = det.preprocess(img)[None]
+        if use_int8:
+            # quantize on first use, calibrated on this first real frame
+            det = Detector(cfg_path, weights_path, int8_calib=x)
+            use_int8 = False
         boxes, probs = det.predict_batch(jnp.asarray(x), thresh=thresh)
         out.write(np.asarray(boxes[0], "<f4").tobytes())
         out.write(np.asarray(probs[0], "<f4").tobytes())
