@@ -60,7 +60,12 @@ def main():
     try:
         from sr_object_detection_tpu.infer.quant import (
             QuantizedThroughputEngine)
-        qeng = QuantizedThroughputEngine(spec, params, batch=batch)
+        # explicit noise calibration: fine for a throughput benchmark
+        # (serving passes real frames; the engine warns otherwise)
+        calib = np.random.RandomState(0).uniform(
+            0, 1, (8, spec.net.h, spec.net.w, 3)).astype(np.float32)
+        qeng = QuantizedThroughputEngine(spec, params, batch=batch,
+                                         calib_x=calib)
         qeng.warmup()
         qr = qeng.benchmark(iters=30)
         qips = qr["images_per_sec"]
@@ -109,7 +114,10 @@ def main():
               file=sys.stderr)
         from sr_object_detection_tpu.infer.quant import (
             QuantizedThroughputEngine)
-        q2 = QuantizedThroughputEngine(spec2, params2, batch=32)
+        calib2 = np.random.RandomState(0).uniform(
+            0, 1, (8, spec2.net.h, spec2.net.w, 3)).astype(np.float32)
+        q2 = QuantizedThroughputEngine(spec2, params2, batch=32,
+                                       calib_x=calib2)
         q2.warmup()
         qr2 = q2.benchmark(iters=15)
         print(f"yolov2-coco-608: int8 {qr2['images_per_sec']:.0f} img/s "
