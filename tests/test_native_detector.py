@@ -99,3 +99,38 @@ def test_pipe_backend_end_to_end(tmp_path):
         assert out[0].track_id == tid
     finally:
         lib.sr_detector_destroy(det)
+
+
+def test_pipe_backend_int8(tmp_path):
+    """serve --int8: the worker quantizes on the first client frame;
+    the native API sees the same protocol and sane detections."""
+    g_path = GOLDEN / "map_ab.npz"
+    if not g_path.exists():
+        pytest.skip("map_ab golden not generated")
+    g = np.load(g_path)
+    cfg = tmp_path / "net.cfg"
+    cfg.write_text(bytes(g["cfg"]).decode())
+    weights = tmp_path / "w.weights"
+    weights.write_bytes(bytes(g["weights"]))
+
+    lib = _lib()
+    argv = [sys.executable, "-m", "sr_object_detection_tpu.infer.serve",
+            str(cfg), str(weights), "--cpu", "--int8"]
+    c_argv = (ctypes.c_char_p * (len(argv) + 1))(
+        *[a.encode() for a in argv], None)
+    det = lib.sr_detector_create_pipe(c_argv)
+    assert det, "pipe handshake failed"
+    try:
+        from tools.synth_dataset import make_image
+        rng = np.random.default_rng(0)
+        img, truth = make_image(rng, 160, 120, max_boxes=1)
+        x = (img.astype(np.float32) / 255.0).ravel()
+        out = (srBBox * 32)()
+        n = lib.sr_detector_detect(
+            det, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            160, 120, 3, 0.24, 0.4, out, 32)
+        assert n >= 1, "int8 worker found nothing on easy synth"
+        best = max(range(n), key=lambda i: out[i].prob)
+        assert int(out[best].obj_id) == int(truth[0][4])
+    finally:
+        lib.sr_detector_destroy(det)
