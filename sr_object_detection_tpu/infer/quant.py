@@ -244,7 +244,15 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
     # ---- forward builder -------------------------------------------
     def forward(qp, x):
         saved: dict[int, Any] = {}
-        cur = _requant(x.astype(jnp.float32), np.float32(1.0 / in_scale))
+        if x.dtype == jnp.uint8:
+            # raw camera frames: fold the /255 into the input quant so
+            # the engine reads 1 byte/px instead of 4 (the conversion
+            # fuses into the requant clamp)
+            cur = _requant(x.astype(jnp.float32),
+                           np.float32(1.0 / (255.0 * in_scale)))
+        else:
+            cur = _requant(x.astype(jnp.float32),
+                           np.float32(1.0 / in_scale))
         for i, l in enumerate(layers):
             if isinstance(l, S.ConvSpec):
                 if i in heads:

@@ -191,6 +191,21 @@ def test_int8_classifier_float_tail():
     assert any("dequant" in p for p in qnet.qparams if p)
 
 
+def test_uint8_input_matches_f32():
+    """Raw-u8 frame input (cameras) folds /255 into the input quant;
+    results match the f32 [0,1] input path to rounding tolerance."""
+    spec = tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    rng = np.random.RandomState(6)
+    u8 = rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    qnet = quantize_for_inference(spec, params, f32)
+    out_f = np.asarray(qnet.forward(qnet.qparams, jnp.asarray(f32)))
+    out_u = np.asarray(qnet.forward(qnet.qparams, jnp.asarray(u8)))
+    # identical int8 input codes except float-rounding knife-edges
+    assert np.abs(out_f - out_u).mean() < 1e-3
+
+
 def test_quant_rejects_unsupported():
     from sr_object_detection_tpu.models.zoo import cifar_small
     spec = cifar_small(batch=1)
