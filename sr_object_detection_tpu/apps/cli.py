@@ -73,7 +73,6 @@ def cmd_detect(argv):
     if use_int8:
         # int8 serving mode (infer/quant.py): calibrate activation
         # scales on the input image itself
-        import numpy as _np
         from ..graph.spec import parse_network_cfg
         _spec = parse_network_cfg(cfg)
         from ..ops.image import resize_image_np

@@ -58,13 +58,7 @@ class Detector:
             self.params, self.seen = init_params(self.spec), 0
         self.params = jax.tree.map(jnp.asarray, self.params)
         if int8_calib is not None:
-            # int8 serving mode: calibrate on the given preprocessed NHWC
-            # sample batch and swap the forward for the quantized program
-            # (infer/quant.py); decode below is unchanged — the head conv
-            # and region stay in float.
-            from .quant import QuantizedForwardShim
-            self.compiled = QuantizedForwardShim(
-                self.spec, self.params, int8_calib, self.compiled.trees)
+            self.quantize(int8_calib)
         self.names = list(names) if names else None
         self.letterbox = letterbox
         self.nms_topk = nms_topk
@@ -77,6 +71,21 @@ class Detector:
         self.class_map = read_map(map_path) if map_path else None
 
         self._predict = jax.jit(partial(self._predict_impl, train=False))
+
+    # ------------------------------------------------------------------
+    def quantize(self, calib_x):
+        """Swap the forward for the int8 program IN PLACE, calibrated on
+        ``calib_x`` (preprocessed NHWC f32 sample batch). Reuses the
+        already-loaded params — no second weights read — and keeps every
+        constructor setting (names/letterbox/nms_topk). Decode is
+        unchanged: the head conv and region stay in float
+        (infer/quant.py)."""
+        from .quant import QuantizedForwardShim
+        self.compiled = QuantizedForwardShim(
+            self.spec, self.params, calib_x, self.compiled.trees)
+        if hasattr(self, "_predict"):   # re-trace over the new forward
+            self._predict = jax.jit(partial(self._predict_impl,
+                                            train=False))
 
     # ------------------------------------------------------------------
     def _predict_impl(self, params, x, thresh, *, train=False):

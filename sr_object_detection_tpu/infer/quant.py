@@ -24,8 +24,11 @@ Scheme (standard symmetric PTQ):
     too precision-sensitive for an int8 step size.
 
 Covers the detection serving topologies (conv/maxpool/route/reorg +
-region): tiny-yolo-voc, yolov2, yolo9000. Anything else raises — the
-bf16 ThroughputEngine is the general path.
+region): tiny-yolo-voc, yolov2, yolo9000 — plus classifier-style specs
+via an int8 trunk + float tail split. Outputs are always f32-domain
+(a trunk ending on a non-head int8 layer is dequantized on the way
+out); unsupported topologies raise NotImplementedError — the bf16
+ThroughputEngine is the general path.
 """
 
 from __future__ import annotations
@@ -44,6 +47,37 @@ from ..ops import layout as L
 from .engine import fold_params_for_inference
 
 I8MIN, I8MAX = -127, 127     # symmetric: keep -128 out so |q| <= 127
+
+
+def load_calib(path: str) -> np.ndarray:
+    """Load a saved calibration batch (.npy, or .npz under key 'calib'
+    / the sole array): preprocessed NHWC f32 frames. Pair with
+    ``save_calib`` — calibrate once on representative traffic, reuse
+    across restarts instead of the first-frame / noise fallbacks."""
+    if path.endswith(".npz"):
+        z = np.load(path)
+        key = "calib" if "calib" in z.files else z.files[0]
+        arr = z[key]
+    else:
+        arr = np.load(path)
+    arr = np.asarray(arr, np.float32)
+    if arr.ndim == 3:
+        arr = arr[None]
+    if arr.ndim != 4:
+        raise ValueError(f"calibration file {path}: expected NHWC or "
+                         f"HWC array, got shape {arr.shape}")
+    return arr
+
+
+def save_calib(path: str, calib_x) -> None:
+    """Persist a calibration batch for :func:`load_calib`."""
+    np.savez_compressed(path, calib=np.asarray(calib_x, np.float32)) \
+        if path.endswith(".npz") else np.save(path, np.asarray(
+            calib_x, np.float32))
+
+
+def _resolve_calib(calib_x):
+    return load_calib(calib_x) if isinstance(calib_x, str) else calib_x
 
 
 def _requant(v_f32, inv_scale):
@@ -142,7 +176,11 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
     run an int8 trunk up to the first unsupported layer and a float
     tail from there (classifier avgpool/softmax tails, cost layers);
     specs with no quantizable prefix, or with route/shortcut edges
-    crossing the trunk/tail boundary, raise NotImplementedError."""
+    crossing the trunk/tail boundary, raise NotImplementedError.
+
+    ``calib_x`` may be a path (str) to a batch saved with
+    :func:`save_calib`."""
+    calib_x = _resolve_calib(calib_x)
     params_f, fspec = fold_params_for_inference(spec, params,
                                                 dtype=jnp.float32)
     split = _supported_prefix(fspec.layers)
@@ -167,6 +205,11 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
 
     in_amax, amax = calibrate_amax(fspec, params_f, calib_x,
                                    tree_search_dirs=tree_search_dirs)
+    # darknet inputs are [0,1] images; floor the input amax at 1.0 so a
+    # full-brightness uint8 frame (code 255 -> 1.0) never saturates the
+    # input requant clamp when the calibration batch happened not to
+    # contain a full-range pixel
+    in_amax = max(in_amax, 1.0)
     heads = _head_conv_indices(fspec)
     if split < len(fspec.layers) and isinstance(
             fspec.layers[split - 1], S.ConvSpec):
@@ -304,6 +347,11 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
                        * jnp.asarray(s_out[split - 1], head_dtype))
             out, _ = tail_fwd(tail_params, cur)
             return out
+        if cur.dtype == jnp.int8:
+            # fully-supported spec ending on a non-head int8 layer (e.g.
+            # a conv/maxpool-terminated trunk with no float tail):
+            # dequantize so the contract — f32-domain outputs — holds
+            cur = cur.astype(jnp.float32) * np.float32(s_out[split - 1])
         return cur
 
     return QuantizedNetwork(fspec, qparams, forward, act_scales)
@@ -317,7 +365,8 @@ class QuantizedForwardShim:
 
     def __init__(self, spec: S.NetworkSpec, params, calib_x, trees,
                  *, tree_search_dirs=()):
-        qnet = quantize_for_inference(spec, params, np.asarray(calib_x),
+        qnet = quantize_for_inference(spec, params,
+                                      _resolve_calib(calib_x),
                                       tree_search_dirs=tree_search_dirs)
         self.qnet = qnet
         self.trees = trees
@@ -332,9 +381,9 @@ class QuantizedThroughputEngine:
     block_until_ready is not trusted on tunneled deployments)."""
 
     def __init__(self, spec: S.NetworkSpec, params, *, batch: int = 128,
-                 calib_x: Optional[np.ndarray] = None,
-                 tree_search_dirs=()):
+                 calib_x=None, tree_search_dirs=()):
         self.batch = batch
+        calib_x = _resolve_calib(calib_x)   # str -> saved batch
         if calib_x is None:
             # benchmark convenience only: noise calibration bears no
             # relation to real-image activation ranges — serving MUST
@@ -379,4 +428,5 @@ class QuantizedThroughputEngine:
 
 
 __all__ = ["quantize_for_inference", "QuantizedNetwork",
-           "QuantizedThroughputEngine", "calibrate_amax"]
+           "QuantizedThroughputEngine", "calibrate_amax",
+           "load_calib", "save_calib"]

@@ -83,8 +83,10 @@ def main(argv=None):
         img = np.frombuffer(buf, "<f4").reshape(h, w, c)
         x = det.preprocess(img)[None]
         if use_int8:
-            # quantize on first use, calibrated on this first real frame
-            det = Detector(cfg_path, weights_path, int8_calib=x)
+            # quantize IN PLACE on first use, calibrated on this first
+            # real frame — reuses the already-loaded params (no second
+            # weights read, no doubled first-frame latency)
+            det.quantize(x)
             use_int8 = False
         boxes, probs = det.predict_batch(jnp.asarray(x), thresh=thresh)
         out.write(np.asarray(boxes[0], "<f4").tobytes())

@@ -206,6 +206,42 @@ def test_uint8_input_matches_f32():
     assert np.abs(out_f - out_u).mean() < 1e-3
 
 
+def test_calibration_file_roundtrip(tmp_path):
+    """save_calib/load_calib: calibrate once, reuse across restarts —
+    a path passed as calib_x behaves exactly like the array."""
+    from sr_object_detection_tpu.infer.quant import save_calib, load_calib
+    spec = tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    rng = np.random.RandomState(7)
+    x = rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    p = str(tmp_path / "calib.npz")
+    save_calib(p, x)
+    np.testing.assert_array_equal(load_calib(p), x)
+    q_arr = quantize_for_inference(spec, params, x)
+    q_file = quantize_for_inference(spec, params, p)
+    assert q_arr.act_scales == q_file.act_scales
+    probe = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(q_arr.forward(q_arr.qparams, jnp.asarray(probe))),
+        np.asarray(q_file.forward(q_file.qparams, jnp.asarray(probe))))
+
+
+def test_input_amax_floored_for_u8_range():
+    """A dim calibration batch (amax < 1) must not make full-brightness
+    u8 pixels saturate the input quant: the input amax is floored at
+    1.0 so code 255 maps inside the int8 range."""
+    spec = tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    dim = np.full((2, 64, 64, 3), 0.25, np.float32)   # amax = 0.25
+    qnet = quantize_for_inference(spec, params, dim)
+    bright_u8 = np.full((1, 64, 64, 3), 255, np.uint8)
+    bright_f = np.ones((1, 64, 64, 3), np.float32)
+    out_u = np.asarray(qnet.forward(qnet.qparams, jnp.asarray(bright_u8)))
+    out_f = np.asarray(qnet.forward(qnet.qparams, jnp.asarray(bright_f)))
+    # u8-255 and f32-1.0 agree (neither clipped relative to the other)
+    assert np.abs(out_u - out_f).mean() < 1e-3
+
+
 def test_quant_rejects_unsupported():
     from sr_object_detection_tpu.models.zoo import cifar_small
     spec = cifar_small(batch=1)
