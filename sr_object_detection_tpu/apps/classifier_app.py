@@ -135,6 +135,14 @@ def run_classifier(argv: list[str]):
         return validate_classifier(data_cfg, cfg, weights, rest)
     if sub in ("valid_multi", "validmulti"):
         return validate_classifier_multi(data_cfg, cfg, weights, rest)
+    if sub in ("valid_crop", "validcrop"):
+        return validate_classifier_crop(data_cfg, cfg, weights, rest)
+    if sub in ("valid_full", "validfull"):
+        return validate_classifier_full(data_cfg, cfg, weights, rest)
+    if sub == "threat":
+        return threat_classifier(data_cfg, cfg, weights, rest)
+    if sub == "gun":
+        return gun_classifier(data_cfg, cfg, weights, rest)
     raise SystemExit(f"unknown classifier subcommand {sub}")
 
 
@@ -180,3 +188,197 @@ def validate_classifier_multi(data_cfg: str, cfg: str, weights: str,
     n = max(len(paths), 1)
     print(f"multi-crop top1: {top1/n:.4f}, top{topk}: {topn/n:.4f}")
     return top1 / n, topn / n
+
+
+def _class_of_path(path: str, labels) -> int:
+    return next((i for i, n in enumerate(labels) if n in path), -1)
+
+
+def validate_classifier_crop(data_cfg: str, cfg: str, weights: str,
+                             argv: list[str]):
+    """validate_classifier_crop (classifier.c:269-334): batched
+    plain-resize evaluation (OLD_CLASSIFICATION_DATA) in ~1000-image
+    splits with running top-1/top-k averages — the TPU-native form is
+    one jitted batched forward per split instead of network_accuracies'
+    per-row loop."""
+    import jax
+    import jax.numpy as jnp
+    from ..graph.compiler import build_forward
+    from ..ops.image import load_image_rgb, resize_image_np
+
+    options = read_data_cfg(data_cfg)
+    valid_list = options.get("valid", "data/train.list")
+    labels = read_names(options["labels"]) if "labels" in options else \
+        read_names(options["names"])
+    topk = find_value(argv, "-topk", int(options.get("top", 1)), int)
+    batch = find_value(argv, "-batch", 64, int)
+
+    spec = parse_network_cfg(cfg)
+    params, _ = load_weights(spec, weights)
+    params = jax.tree.map(jnp.asarray, params)
+    fwd = jax.jit(lambda p, x: build_forward(spec)(p, x)[0])
+
+    with open(valid_list) as f:
+        paths = [l.strip() for l in f if l.strip()]
+    m = len(paths)
+    splits = max(m // 1000, 1)
+    avg_acc = avg_topk = 0.0
+    done = 0
+    for s in range(splits):
+        part = paths[s * m // splits:(s + 1) * m // splits]
+        acc1 = acck = 0
+        for off in range(0, len(part), batch):
+            chunk = part[off:off + batch]
+            x = np.stack([resize_image_np(load_image_rgb(p),
+                                          spec.net.w, spec.net.h)
+                          for p in chunk])
+            pred = np.asarray(fwd(params, jnp.asarray(x)))
+            pred = pred.reshape(len(chunk), -1)[:, :len(labels)]
+            order = np.argsort(-pred, axis=1)[:, :topk]
+            truth = np.array([_class_of_path(p, labels) for p in chunk])
+            acc1 += int((order[:, 0] == truth).sum())
+            acck += int((order == truth[:, None]).any(axis=1).sum())
+        avg_acc += acc1 / max(len(part), 1)
+        avg_topk += acck / max(len(part), 1)
+        done += 1
+        print(f"{done}: top 1: {avg_acc/done:f}, top {topk}: "
+              f"{avg_topk/done:f}, {len(part)} images")
+    return avg_acc / max(done, 1), avg_topk / max(done, 1)
+
+
+def validate_classifier_full(data_cfg: str, cfg: str, weights: str,
+                             argv: list[str]):
+    """validate_classifier_full (classifier.c:408-467): per-image
+    fully-convolutional evaluation — resize the short side to net.w,
+    resize_network to the image dims (here: static-shape recompile per
+    resolution bucket, cached), global-pool head keeps outputs =
+    classes."""
+    import jax
+    import jax.numpy as jnp
+    from ..graph.compiler import build_forward
+    from ..ops.image import load_image_rgb, resize_image_np
+
+    options = read_data_cfg(data_cfg)
+    valid_list = options.get("valid", "data/train.list")
+    labels = read_names(options["labels"]) if "labels" in options else \
+        read_names(options["names"])
+    topk = find_value(argv, "-topk", int(options.get("top", 1)), int)
+
+    spec = parse_network_cfg(cfg)
+    params, _ = load_weights(spec, weights)
+    params = jax.tree.map(jnp.asarray, params)
+    size = spec.net.w
+    fwd_cache: dict[tuple[int, int], object] = {}
+
+    def fwd_for(w: int, h: int):
+        if (w, h) not in fwd_cache:
+            rspec = spec.resize(w, h)
+            f = build_forward(rspec)
+            fwd_cache[(w, h)] = jax.jit(lambda p, x: f(p, x)[0])
+        return fwd_cache[(w, h)]
+
+    with open(valid_list) as f:
+        paths = [l.strip() for l in f if l.strip()]
+    avg_acc = avg_topk = 0.0
+    for i, path in enumerate(paths):
+        truth = _class_of_path(path, labels)
+        img = load_image_rgb(path)
+        ih, iw = img.shape[:2]
+        # resize_min (image.c): short side -> net.w, keep aspect;
+        # bucket to multiples of 32 so the compile cache stays small
+        scale = size / min(iw, ih)
+        nw = max(32, int(round(iw * scale / 32)) * 32)
+        nh = max(32, int(round(ih * scale / 32)) * 32)
+        x = resize_image_np(img, nw, nh)[None]
+        pred = np.asarray(fwd_for(nw, nh)(params, jnp.asarray(x)))
+        pred = pred.reshape(-1)[:len(labels)]
+        order = np.argsort(-pred)[:topk]
+        avg_acc += int(order[0] == truth)
+        avg_topk += int(truth in order)
+        print(f"{i}: top 1: {avg_acc/(i+1):f}, top {topk}: "
+              f"{avg_topk/(i+1):f}")
+    n = max(len(paths), 1)
+    return avg_acc / n, avg_topk / n
+
+
+def _demo_frames(argv: list[str]):
+    """Frame source for the camera demos: -file <dir|glob|image>."""
+    import glob as _glob
+    from ..ops.image import load_image_rgb
+    src = find_value(argv, "-file", None)
+    if src is None:
+        raise SystemExit("no camera here: pass -file <dir-or-glob> "
+                         "of frames")
+    if os.path.isdir(src):
+        paths = sorted(_glob.glob(os.path.join(src, "*")))
+    else:
+        paths = sorted(_glob.glob(src)) or [src]
+    for p in paths:
+        yield load_image_rgb(p)
+
+
+def threat_classifier(data_cfg: str, cfg: str, weights: str,
+                      argv: list[str], frames=None, out=None):
+    """threat_classifier (classifier.c:844-975): rolling threat meter
+    over a frame stream — threat = 0.2*curr + 0.8*prev with curr =
+    0.6*p[1] + p[2]; the reference's on-frame meter becomes a text
+    gauge with the same .57/.97 warning thresholds."""
+    import sys as _sys
+    import jax.numpy as jnp
+    from ..infer.classifier import Classifier
+    out = out or _sys.stdout
+    options = read_data_cfg(data_cfg) if data_cfg else {}
+    labels = read_names(options["names"]) if "names" in options else None
+    top = int(options.get("top", 1))
+    clf = Classifier(cfg, weights, names=labels)
+    threat, roll = 0.0, 0.2
+    history = []
+    for img in (frames if frames is not None else _demo_frames(argv)):
+        pred = clf.predict(img)
+        curr = float(pred[1] * .6 + pred[2]) if len(pred) > 2 else \
+            float(pred.max())
+        threat = roll * curr + (1 - roll) * threat
+        gauge = "#" * int(threat * 40)
+        warn = " !!!" if threat > .97 else (" !" if threat > .57 else "")
+        out.write(f"threat {threat:5.2f} |{gauge:<40}|{warn}\n")
+        order = np.argsort(-pred)[:top]
+        for ix in order:
+            name = labels[ix] if labels and ix < len(labels) else str(ix)
+            out.write(f"{100*pred[ix]:.1f}%: {name}\n")
+        history.append(threat)
+    return history
+
+
+# gun_classifier's hardcoded ImageNet-22k "threatening" category ids
+# (classifier.c:977: bad_cats[])
+BAD_CATS = (218, 539, 540, 1213, 1501, 1742, 1911, 2415, 4348, 19223,
+            368, 369, 370, 1133, 1200, 1306, 2122, 2301, 2537, 2823,
+            3179, 3596, 3639, 4489, 5107, 5140, 5289, 6240, 6631, 6762,
+            7048, 7171, 7969, 7984, 7989, 8824, 8927, 9915, 10270,
+            10448, 13401, 15205, 18358, 18894, 18895, 19249, 19697)
+
+
+def gun_classifier(data_cfg: str, cfg: str, weights: str,
+                   argv: list[str], frames=None, out=None):
+    """gun_classifier (classifier.c:977-1054): flags a frame when any
+    bad-category probability exceeds 0.01."""
+    import sys as _sys
+    from ..infer.classifier import Classifier
+    out = out or _sys.stdout
+    options = read_data_cfg(data_cfg) if data_cfg else {}
+    labels = read_names(options["names"]) if "names" in options else None
+    clf = Classifier(cfg, weights, names=labels)
+    flagged = []
+    for k, img in enumerate(frames if frames is not None
+                            else _demo_frames(argv)):
+        pred = clf.predict(img)
+        cats = [i for i in BAD_CATS if i < len(pred) and pred[i] > .01]
+        if cats:
+            out.write("Threat Detected!\n")
+            for i in cats:
+                name = labels[i] if labels and i < len(labels) else str(i)
+                out.write(f"{name}\n")
+        else:
+            out.write("Scanning...\n")
+        flagged.append(bool(cats))
+    return flagged

@@ -250,11 +250,21 @@ def cmd_art(argv):
 
 
 def cmd_captcha(argv):
+    if argv and argv[0] == "train":
+        from .misc_train import train_captcha
+        w = argv[2] if len(argv) > 2 and not argv[2].startswith("-") \
+            else None
+        return train_captcha(argv[1], w, argv[3:] if w else argv[2:])
     from .misc_apps import captcha
     return captcha(argv[0], argv[1], argv[2])
 
 
 def cmd_tag(argv):
+    if argv and argv[0] == "train":
+        from .misc_train import train_tag
+        w = argv[2] if len(argv) > 2 and not argv[2].startswith("-") \
+            else None
+        return train_tag(argv[1], w, argv[3:] if w else argv[2:])
     from .misc_apps import tag
     names_file = find_value(argv, "-names", None)
     names = None
@@ -265,11 +275,21 @@ def cmd_tag(argv):
 
 
 def cmd_compare(argv):
+    if argv and argv[0] == "train":
+        from .misc_train import train_compare
+        w = argv[2] if len(argv) > 2 and not argv[2].startswith("-") \
+            else None
+        return train_compare(argv[1], w, argv[3:] if w else argv[2:])
     from .misc_apps import compare
     return compare(argv[0], argv[1], argv[2], argv[3])
 
 
 def cmd_writing(argv):
+    if argv and argv[0] == "train":
+        from .misc_train import train_writing
+        w = argv[2] if len(argv) > 2 and not argv[2].startswith("-") \
+            else None
+        return train_writing(argv[1], w, argv[3:] if w else argv[2:])
     from .misc_apps import writing
     out = find_value(argv, "-out", "writing_out.ppm")
     return writing(argv[0], argv[1], argv[2], out_path=out)
@@ -306,6 +326,11 @@ def cmd_imtest(argv):
 
 def cmd_vid(argv):
     """rnn_vid: per-frame conv features -> feature-RNN demo."""
+    if argv and argv[0] == "train":
+        from .misc_train import train_vid_rnn
+        w = argv[2] if len(argv) > 2 and not argv[2].startswith("-") \
+            else None
+        return train_vid_rnn(argv[1], w, argv[3:] if w else argv[2:])
     from .misc_apps import VideoRNN
     from ..robot.frame_source import ImageDirectorySource
     cfg = argv[0]

@@ -67,8 +67,12 @@ def checksum_benchmark(run_sum, input_shape, batch, *, iters: int,
     that data-depends on every output element is the only honest sync.
     """
     import contextlib
-    x = jnp.asarray(np.random.uniform(
-        0, 1, input_shape).astype(np.float32), dtype)
+    if dtype == jnp.uint8:
+        # raw camera-frame feed (1 byte/px device reads)
+        x = jnp.asarray(np.random.randint(0, 256, input_shape, np.uint8))
+    else:
+        x = jnp.asarray(np.random.uniform(
+            0, 1, input_shape).astype(np.float32), dtype)
     ctx = mesh if mesh is not None else contextlib.nullcontext()
     with ctx:
         for _ in range(warmup):

@@ -421,10 +421,15 @@ class QuantizedThroughputEngine:
     def __call__(self, x):
         return self._run(x)
 
-    def benchmark(self, iters: int = 50, warmup: int = 5) -> dict:
+    def benchmark(self, iters: int = 50, warmup: int = 5,
+                  input_dtype=jnp.float32) -> dict:
+        """``input_dtype=jnp.uint8`` measures the raw-camera-frame feed
+        (the /255 is folded into the input quant — 1 byte/px device
+        reads instead of 4; the serving path for u8 traffic)."""
         from .engine import checksum_benchmark
         return checksum_benchmark(self._run_sum, self.input_shape,
-                                  self.batch, iters=iters, warmup=warmup)
+                                  self.batch, iters=iters, warmup=warmup,
+                                  dtype=input_dtype)
 
 
 __all__ = ["quantize_for_inference", "QuantizedNetwork",

@@ -1,0 +1,386 @@
+"""Misc-app training loops (captcha/tag/writing/compare/vid-rnn) and
+the classifier valid_crop/valid_full/threat/gun modes."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sr_object_detection_tpu.apps import misc_train as MT
+
+
+def _write_ppm(path, img01):
+    from tools.synth_dataset import write_ppm
+    write_ppm(str(path), (np.clip(img01, 0, 1) * 255).astype(np.uint8))
+
+
+def _toy_cfg(tmp_path, name, body):
+    p = tmp_path / name
+    p.write_text(body)
+    return str(p)
+
+
+CLS_CFG = """\
+[net]
+batch=4
+subdivisions=1
+height=16
+width=16
+channels={ch}
+learning_rate=0.05
+momentum=0.9
+decay=0.0001
+policy=constant
+max_batches=50
+
+[convolutional]
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+batch_normalize=1
+
+[avgpool]
+
+[connected]
+output={out}
+activation=logistic
+
+[cost]
+type=masked
+"""
+
+
+def test_fix_data_captcha_mask():
+    """fix_data_captcha (captcha.c:5-27): solved mode masks unlabeled
+    pairs with SECRET_NUM and keeps only the 'absent' slot of
+    double-hot pairs."""
+    y = np.array([[1, 0, 0, 0],
+                  [1, 1, 0, 1]], np.float32)
+    m = MT.fix_data_captcha(y, mask=True)
+    np.testing.assert_array_equal(m[0], [1, 0, MT.SECRET_NUM,
+                                         MT.SECRET_NUM])
+    np.testing.assert_array_equal(m[1], [0, 1, MT.SECRET_NUM,
+                                         MT.SECRET_NUM])
+    u = MT.fix_data_captcha(y, mask=False)
+    np.testing.assert_array_equal(u[:, 1], [0, 0])   # complement slot
+    np.testing.assert_array_equal(u[:, 3], [1, 1])   # j empty -> 1
+
+
+def _image_set(tmp_path, names, n_per=6, seed=0):
+    """Images whose mean brightness correlates with the class (so a
+    toy net can learn) and whose paths contain the class name."""
+    rng = np.random.default_rng(seed)
+    d = tmp_path / "imgs"
+    d.mkdir(exist_ok=True)
+    paths = []
+    for ci, name in enumerate(names):
+        level = (ci + 1) / (len(names) + 1)
+        for k in range(n_per):
+            img = np.full((16, 16, 3), level, np.float32) \
+                + rng.normal(0, .05, (16, 16, 3))
+            p = d / f"{name}_{k}.ppm"
+            _write_ppm(p, img)
+            paths.append(str(p))
+    lst = tmp_path / "train.list"
+    lst.write_text("\n".join(paths) + "\n")
+    return str(lst), paths
+
+
+def test_train_captcha(tmp_path):
+    # labels come in (present, absent) pairs within the label list
+    # (fix_data_captcha pairs slots 2i/2i+1) — len(labels) == net out
+    names = ["ax", "ay", "bx", "by"]
+    lst, _ = _image_set(tmp_path, names)
+    labels = tmp_path / "labels.list"
+    labels.write_text("\n".join(names) + "\n")
+    cfg = _toy_cfg(tmp_path, "cap.cfg", CLS_CFG.format(ch=3, out=4))
+    losses = MT.train_captcha(
+        cfg, None, ["-list", lst, "-labels", str(labels),
+                    "-backup", str(tmp_path / "bk")], max_batches=25)
+    assert np.all(np.isfinite(losses))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert (tmp_path / "bk" / "cap.weights").exists()
+
+
+def test_load_tags_and_train_tag(tmp_path):
+    lst, paths = _image_set(tmp_path, ["thing"], n_per=8)
+    labdir = tmp_path / "labels"
+    labdir.mkdir()
+    # tag files via the imgs->labels, _iconl.jpeg->.txt chain; our
+    # paths are .ppm so name them accordingly
+    for i, p in enumerate(paths):
+        t = p.replace("imgs", "labels")
+        os.makedirs(os.path.dirname(t), exist_ok=True)
+        open(t.replace(".ppm", ".ppm"), "w")  # ensure dir
+    # use the documented chain exactly: rename sample to _iconl.jpeg
+    tag_paths = []
+    for i, p in enumerate(paths):
+        np_path = p.replace(".ppm", "_iconl.jpeg.ppm")
+        os.rename(p, np_path)       # keep a loadable image
+        tag_paths.append(np_path)
+        lab = np_path.replace("imgs", "labels").replace(
+            "_iconl.jpeg", ".txt")
+        with open(lab, "w") as f:
+            f.write(f"{i % 4}\n")
+    y = MT.load_tags(tag_paths[2], 8)
+    assert y[2] == 1.0 and y.sum() == 1.0
+    lst2 = tmp_path / "tags.list"
+    lst2.write_text("\n".join(tag_paths) + "\n")
+    cfg = _toy_cfg(tmp_path, "tag.cfg", CLS_CFG.format(ch=3, out=8))
+    losses = MT.train_tag(cfg, None,
+                          ["-list", str(lst2),
+                           "-backup", str(tmp_path / "bk")],
+                          max_batches=10)
+    assert np.all(np.isfinite(losses)) and len(losses) == 10
+
+
+WRITING_CFG = """\
+[net]
+batch=4
+subdivisions=1
+height=16
+width=16
+channels=3
+learning_rate=0.05
+momentum=0.9
+decay=0.0001
+policy=constant
+max_batches=50
+
+[convolutional]
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+batch_normalize=1
+
+[convolutional]
+filters=1
+size=3
+stride=1
+pad=1
+activation=logistic
+
+[cost]
+type=masked
+"""
+
+
+def test_train_writing(tmp_path):
+    """writing: pixel-wise grayscale targets from '-label.png' partner
+    files at the net's output resolution (data.c:800-813)."""
+    rng = np.random.default_rng(1)
+    d = tmp_path / "figs"
+    d.mkdir()
+    paths = []
+    for k in range(8):
+        img = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+        # target: thresholded luma of the input (learnable identity-ish)
+        label = (img.mean(-1) > 0.5).astype(np.float32)
+        p = d / f"fig{k}.png.ppm"     # find_replace works on '.png'
+        _write_ppm(p, img)
+        _write_ppm(str(p).replace(".png", "-label.png"),
+                   np.repeat(label[..., None], 3, -1))
+        paths.append(str(p))
+    lst = tmp_path / "figures.list"
+    lst.write_text("\n".join(paths) + "\n")
+    cfg = _toy_cfg(tmp_path, "writing.cfg", WRITING_CFG)
+    losses = MT.train_writing(cfg, None,
+                              ["-list", str(lst),
+                               "-backup", str(tmp_path / "bk")],
+                              max_batches=25)
+    assert np.all(np.isfinite(losses))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_train_compare(tmp_path):
+    """compare: 6-channel pair input, 2*classes win/lose/masked truth
+    (data.c:547-609)."""
+    rng = np.random.default_rng(2)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    ld = tmp_path / "labels"
+    ld.mkdir()
+    paths = []
+    for k in range(12):
+        img = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+        p = d / f"im{k}.jpg.ppm"      # 'jpg'->'txt' chain intact
+        _write_ppm(p, img)
+        lab = str(p).replace("imgs", "labels").replace("jpg", "txt")
+        with open(lab, "w") as f:
+            f.write(f"0 {rng.uniform(0, 1):.3f}\n")
+        paths.append(str(p))
+    lst = tmp_path / "compare.list"
+    lst.write_text("\n".join(paths) + "\n")
+    cfg = _toy_cfg(tmp_path, "cmp.cfg", CLS_CFG.format(ch=6, out=4))
+    losses = MT.train_compare(cfg, None,
+                              ["-list", str(lst), "-classes", "2",
+                               "-backup", str(tmp_path / "bk")],
+                              max_batches=8)
+    assert np.all(np.isfinite(losses)) and len(losses) == 8
+
+
+def test_compare_labels_masking(tmp_path):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for n, iou in (("a", 0.9), ("b", 0.1)):
+        _write_ppm(d / f"{n}.jpg.ppm", np.zeros((4, 4, 3)))
+        lab = tmp_path / "labels"
+        lab.mkdir(exist_ok=True)
+        with open(str(d / f"{n}.jpg.ppm").replace("imgs", "labels")
+                  .replace("jpg", "txt"), "w") as f:
+            f.write(f"0 {iou}\n")
+    y = MT.load_compare_labels(str(d / "a.jpg.ppm"),
+                               str(d / "b.jpg.ppm"), 2)
+    np.testing.assert_array_equal(y[:2], [1.0, 0.0])       # a wins
+    assert y[2] == MT.SECRET_NUM and y[3] == MT.SECRET_NUM  # no label
+
+
+RNN_CFG = """\
+[net]
+batch=8
+subdivisions=1
+time_steps=4
+height=1
+width=1
+channels=8
+learning_rate=0.02
+momentum=0.9
+decay=0.0001
+policy=constant
+max_batches=50
+
+[rnn]
+output=16
+hidden=16
+activation=tanh
+batch_normalize=0
+
+[connected]
+output=8
+activation=linear
+
+[cost]
+type=masked
+"""
+
+EXT_CFG = """\
+[net]
+batch=5
+subdivisions=1
+height=16
+width=16
+channels=3
+learning_rate=0.01
+momentum=0.9
+decay=0.0001
+
+[convolutional]
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[avgpool]
+"""
+
+
+def test_train_vid_rnn(tmp_path):
+    """vid-rnn: extractor features over frame directories, RNN learns
+    feats[t] -> feats[t+1] (rnn_vid.c:24-146)."""
+    rng = np.random.default_rng(3)
+    vids = []
+    for v in range(2):
+        d = tmp_path / f"vid{v}"
+        d.mkdir()
+        base = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+        for t in range(10):
+            # smooth temporal drift so features are predictable
+            frame = np.clip(base + 0.03 * t, 0, 1)
+            _write_ppm(d / f"f{t:03d}.ppm", frame)
+        vids.append(str(d))
+    lst = tmp_path / "vids.list"
+    lst.write_text("\n".join(vids) + "\n")
+    ext_cfg = _toy_cfg(tmp_path, "ext.cfg", EXT_CFG)
+    rnn_cfg = _toy_cfg(tmp_path, "vrnn.cfg", RNN_CFG)
+    losses = MT.train_vid_rnn(
+        rnn_cfg, None,
+        ["-list", str(lst), "-extractor", ext_cfg,
+         "-backup", str(tmp_path / "bk")], max_batches=12)
+    assert np.all(np.isfinite(losses))
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+# ---------------------------------------------------------------------
+# classifier valid_crop / valid_full / threat / gun
+# ---------------------------------------------------------------------
+
+def _classifier_setup(tmp_path):
+    from sr_object_detection_tpu.apps import misc_train as _
+    names = ["dark", "lite"]
+    lst, paths = _image_set(tmp_path, names, n_per=5, seed=7)
+    data_cfg = tmp_path / "d.data"
+    labels = tmp_path / "labels.list"
+    labels.write_text("\n".join(names) + "\n")
+    data_cfg.write_text(f"valid={lst}\nlabels={labels}\n"
+                        f"names={labels}\ntop=2\n")
+    cfg = _toy_cfg(tmp_path, "cls.cfg", CLS_CFG.format(ch=3, out=2))
+    # train briefly so accuracy is meaningful
+    from sr_object_detection_tpu.apps.classifier_app import \
+        train_classifier
+    bdir = tmp_path / "bk"
+    d2 = tmp_path / "t.data"
+    d2.write_text(f"train={lst}\nlabels={labels}\nbackup={bdir}\n")
+    import dataclasses
+    from sr_object_detection_tpu.graph.spec import parse_network_cfg
+    from sr_object_detection_tpu.train.trainer import Trainer
+    from sr_object_detection_tpu.io import checkpoint as ckpt
+    from sr_object_detection_tpu.data.loader import ClassificationLoader
+    spec = parse_network_cfg(cfg)
+    trainer = Trainer(spec)
+    loader = ClassificationLoader(lst, names, w=16, h=16,
+                                  batch=trainer.outer_batch,
+                                  augment=False)
+    for _i in range(40):
+        x, y = loader.next_batch()
+        trainer.step(x, y)
+    bdir.mkdir(exist_ok=True)
+    wfile = bdir / "cls.weights"
+    ckpt.export_weights(str(wfile), spec, trainer.state)
+    return str(data_cfg), cfg, str(wfile), names
+
+
+def test_validate_classifier_crop_and_full(tmp_path):
+    from sr_object_detection_tpu.apps.classifier_app import (
+        validate_classifier_crop, validate_classifier_full)
+    data_cfg, cfg, wfile, names = _classifier_setup(tmp_path)
+    top1c, topkc = validate_classifier_crop(data_cfg, cfg, wfile, [])
+    top1f, topkf = validate_classifier_full(data_cfg, cfg, wfile, [])
+    # trained on brightness: both modes should beat chance clearly
+    assert top1c > 0.7 and top1f > 0.7
+    assert topkc == 1.0 and topkf == 1.0      # top-2 of 2 classes
+
+
+def test_threat_and_gun_demos(tmp_path):
+    from sr_object_detection_tpu.apps.classifier_app import (
+        threat_classifier, gun_classifier)
+    import io
+    data_cfg, cfg, wfile, names = _classifier_setup(tmp_path)
+    rng = np.random.default_rng(9)
+    frames = [rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+              for _ in range(4)]
+    out = io.StringIO()
+    hist = threat_classifier(data_cfg, cfg, wfile, [], frames=frames,
+                             out=out)
+    assert len(hist) == 4 and all(0 <= t <= 1.001 for t in hist)
+    assert "threat" in out.getvalue()
+    out2 = io.StringIO()
+    flags = gun_classifier(data_cfg, cfg, wfile, [], frames=frames,
+                           out=out2)
+    # toy net has 2 outputs; no BAD_CATS index fits -> never flagged
+    assert flags == [False] * 4
+    assert "Scanning..." in out2.getvalue()
