@@ -241,19 +241,28 @@ def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None):
                 cur = _as_nhwc(cur, l)
                 nf = l.coords + l.classes + 1
                 tree = trees.get(i)
-                if l.head_block:
+                if l.presplit and l.head_block:
+                    # pre-split contract: (fields, cls) tuple — no
+                    # darknet-flat reassembly (see region_activate_split)
+                    cur = B.region_activate_split(
+                        cur, l.n, l.coords, l.classes, l.head_block,
+                        softmax=l.softmax,
+                        tree_groups=tree.group if tree is not None
+                        else None)
+                elif l.head_block:
                     acts = B.region_activate_aligned(
                         cur, l.n, l.coords, l.classes, l.head_block,
                         softmax=l.softmax,
                         tree_groups=tree.group if tree is not None
                         else None)
+                    # flat darknet region output: [row][col][anchor][field]
+                    cur = acts.reshape(acts.shape[0], -1)
                 else:
                     acts = B.region_activate(
                         cur, l.n, nf, softmax=l.softmax,
                         tree_groups=tree.group if tree is not None
                         else None)
-                # flat darknet region output: [row][col][anchor][field]
-                cur = acts.reshape(acts.shape[0], -1)
+                    cur = acts.reshape(acts.shape[0], -1)
 
             elif isinstance(l, S.DetectionSpec):
                 cur = _as_flat(cur)

@@ -329,6 +329,11 @@ class RegionSpec(LayerSpec):
     # the (B,H,W,A,block) reshape and the class slice are tile-aligned
     # (0 = darknet-contiguous layout)
     head_block: int = 0
+    # engine-internal: emit (fields, class-probs) as SEPARATE tensors
+    # instead of reassembling the darknet-flat output — removes three
+    # full passes over the class tensor at the engine boundary (the
+    # yolo9000 decode wall). Requires head_block != 0.
+    presplit: bool = False
 
 
 @dataclass(frozen=True)

@@ -49,7 +49,8 @@ class Detector:
                  *, names: Optional[Sequence[str]] = None,
                  compute_dtype=None, letterbox: bool = False,
                  map_path: Optional[str] = None,
-                 nms_topk: int = 128, int8_calib=None):
+                 nms_topk: int = 128, int8_calib=None,
+                 presplit: bool = False):
         self.spec = S.parse_network_cfg(cfg_path)
         self.compiled = CompiledNetwork(self.spec, compute_dtype=compute_dtype)
         if weights_path:
@@ -57,6 +58,29 @@ class Detector:
         else:
             self.params, self.seen = init_params(self.spec), 0
         self.params = jax.tree.map(jnp.asarray, self.params)
+        if presplit:
+            # serving fast path: fold BN, lane-align the head, and take
+            # the pre-split (fields, cls) contract — removes the flat-
+            # output relayout passes (ops.boxes.region_activate_split).
+            # The decode below consumes the split tensors directly.
+            import dataclasses
+            from .engine import fold_params_for_inference, \
+                align_region_head
+            params_f, fspec = fold_params_for_inference(
+                self.spec, self.params,
+                jnp.float32 if compute_dtype is None else compute_dtype)
+            fspec, params_f = align_region_head(fspec, params_f,
+                                                min_classes=1)
+            last = fspec.layers[-1]
+            if isinstance(last, S.RegionSpec) and last.head_block:
+                fspec = S.NetworkSpec(
+                    net=fspec.net,
+                    layers=(*fspec.layers[:-1],
+                            dataclasses.replace(last, presplit=True)),
+                    cfg_path=fspec.cfg_path)
+                self.params = jax.tree.map(jnp.asarray, params_f)
+                self.compiled = CompiledNetwork(
+                    fspec, compute_dtype=compute_dtype)
         if int8_calib is not None:
             self.quantize(int8_calib)
         self.names = list(names) if names else None
@@ -94,12 +118,24 @@ class Detector:
         (B, N, classes) with get_region_boxes' thresholding applied."""
         out, _ = self.compiled.forward(params, x)
         r = self.region
-        nf = r.coords + r.classes + 1
-        acts = out.reshape(x.shape[0], r.h, r.w, r.n, nf)
-        boxes = B.decode_region_boxes(
-            acts, np.asarray(r.anchors).reshape(r.n, 2), img_w=1.0, img_h=1.0)
-        obj = acts[..., 4]
-        cls = acts[..., 5:]
+        if isinstance(out, tuple):
+            # pre-split contract: fields (B,H,W,A,coords+1) with
+            # logistic obj in the last slot, cls already softmaxed
+            fields, cls = out
+            fields = fields.astype(jnp.float32)
+            cls = cls.astype(jnp.float32)
+            boxes = B.decode_region_boxes(
+                fields, np.asarray(r.anchors).reshape(r.n, 2),
+                img_w=1.0, img_h=1.0)
+            obj = fields[..., r.coords]
+        else:
+            nf = r.coords + r.classes + 1
+            acts = out.reshape(x.shape[0], r.h, r.w, r.n, nf)
+            boxes = B.decode_region_boxes(
+                acts, np.asarray(r.anchors).reshape(r.n, 2),
+                img_w=1.0, img_h=1.0)
+            obj = acts[..., 4]
+            cls = acts[..., 5:]
         if self.tree is not None:
             cls = B.hierarchy_multiply(cls, self.tree.parent)
         if r.classfix == -1:

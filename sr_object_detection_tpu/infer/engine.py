@@ -221,7 +221,8 @@ class ThroughputEngine:
 
     def __init__(self, spec: S.NetworkSpec, params, *, batch: int = 64,
                  dtype=jnp.bfloat16, fold_bn: bool = True,
-                 fuse_pool: bool = False, align_head: bool = False):
+                 fuse_pool: bool = False, align_head: bool = False,
+                 presplit: bool = False):
         # fuse_pool: polyphase conv+pool rewrite (fuse_conv_pool). Exact
         # and correctness-tested, but MEASURED SLOWER on v5e (XLA's
         # native small-channel conv path beats the 1.78x-MACs polyphase
@@ -240,12 +241,27 @@ class ThroughputEngine:
             self.params = jax.tree.map(
                 lambda a: jnp.asarray(a, dtype)
                 if getattr(a, "ndim", 0) >= 1 else a, self.params)
-        if align_head and fold_bn:
-            self.spec, self.params = align_region_head(self.spec,
-                                                       self.params)
+        if (align_head or presplit) and fold_bn:
+            self.spec, self.params = align_region_head(
+                self.spec, self.params,
+                min_classes=1 if presplit else 1024)
             self.params = jax.tree.map(
                 lambda a: jnp.asarray(a, dtype)
                 if getattr(a, "ndim", 0) >= 1 else a, self.params)
+        self.presplit = False
+        if presplit:
+            # pre-split output contract: (fields (B,H,W,A,coords+1),
+            # cls (B,H,W,A,classes)) — no darknet-flat reassembly.
+            # Requires the aligned head; non-region specs keep flat.
+            last = self.spec.layers[-1]
+            if isinstance(last, S.RegionSpec) and last.head_block:
+                import dataclasses
+                self.spec = S.NetworkSpec(
+                    net=self.spec.net,
+                    layers=(*self.spec.layers[:-1],
+                            dataclasses.replace(last, presplit=True)),
+                    cfg_path=self.spec.cfg_path)
+                self.presplit = True
         compiled = CompiledNetwork(self.spec, compute_dtype=dtype)
         fwd = compiled.forward
 
@@ -262,6 +278,8 @@ class ThroughputEngine:
         @jax.jit
         def run_sum(params, x):
             out, _ = fwd(params, x.astype(dtype))
+            if isinstance(out, tuple):
+                return sum(jnp.sum(o.astype(jnp.float32)) for o in out)
             return jnp.sum(out.astype(jnp.float32))
 
         self._run = run

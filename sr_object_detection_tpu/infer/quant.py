@@ -122,14 +122,25 @@ def calibrate_amax(spec: S.NetworkSpec, params_f32, calib_x,
                    *, tree_search_dirs=()) -> tuple[float, dict[int, float]]:
     """One f32 forward over calibration images; returns (input_amax,
     {layer_index: output_amax}). The amax observer is the standard PTQ
-    calibrator; symmetric scales follow as amax/127."""
+    calibrator; symmetric scales follow as amax/127.
+
+    The whole observer runs as ONE jitted program returning only the
+    per-layer amax scalars — an eager forward would pay a per-op
+    remote compile AND ship every intermediate tensor over the device
+    tunnel (measured: minutes instead of seconds on tunneled TPU)."""
     net = CompiledNetwork(spec, compute_dtype=None,
                           tree_search_dirs=tree_search_dirs)
-    _, aux = net.forward(jax.tree.map(jnp.asarray, params_f32),
-                         jnp.asarray(calib_x, jnp.float32), keep_all=True)
-    amax = {i: float(jnp.max(jnp.abs(t.astype(jnp.float32))))
-            for i, t in aux["outputs"].items()}
-    return float(jnp.max(jnp.abs(jnp.asarray(calib_x)))), amax
+
+    @jax.jit
+    def observe(params, x):
+        _, aux = net.forward(params, x, keep_all=True)
+        return {i: jnp.max(jnp.abs(t.astype(jnp.float32)))
+                for i, t in aux["outputs"].items()}
+
+    amax_dev = observe(jax.tree.map(jnp.asarray, params_f32),
+                       jnp.asarray(calib_x, jnp.float32))
+    amax = {i: float(v) for i, v in amax_dev.items()}
+    return float(np.max(np.abs(np.asarray(calib_x)))), amax
 
 
 class QuantizedNetwork:

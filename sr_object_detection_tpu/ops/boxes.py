@@ -82,6 +82,40 @@ def region_activate_aligned(raw, n_anchors: int, coords: int,
     return jnp.concatenate([fields[..., :coords], obj, cls], axis=-1)
 
 
+def region_activate_split(raw, n_anchors: int, coords: int,
+                          classes: int, block: int, *,
+                          softmax: bool = False, tree_groups=None):
+    """Pre-split region activation on the lane-ALIGNED head layout
+    (infer.engine.align_region_head): raw is (B, H, W, A*block) with
+    per-anchor channels [coords+1 fields | pad->128 | classes | pad].
+
+    Unlike :func:`region_activate_aligned`, the darknet field order is
+    NEVER reassembled — the engine emits (fields, cls) as separate
+    tensors and the decode consumes them directly:
+
+      fields: (B, H, W, A, coords+1) raw box slots + LOGISTIC obj
+      cls:    (B, H, W, A, classes) softmaxed class probabilities
+
+    Why: the flat output contract costs three full passes over the
+    class tensor at the engine boundary ((A,F) reshape relayout + copy
+    + field-order concatenate — profiled 3.4 ms of a 23 ms yolo9000-416
+    batch); with the 128-aligned block both the reshape and the class
+    slice are free. Parity: reassembling [fields[...,:coords], obj,
+    cls] on the host reproduces region_activate exactly
+    (tests/test_presplit.py)."""
+    b, h, w, _ = raw.shape
+    x = raw.reshape(b, h, w, n_anchors, block)    # free: block % 128 == 0
+    fields = x[..., :coords + 1]
+    obj = jax.nn.sigmoid(fields[..., coords:coords + 1])
+    fields = jnp.concatenate([fields[..., :coords], obj], axis=-1)
+    cls = x[..., 128:128 + classes]
+    if tree_groups is not None:
+        cls = grouped_softmax(cls, tree_groups)
+    elif softmax:
+        cls = jax.nn.softmax(cls, axis=-1)
+    return fields, cls
+
+
 def grouped_softmax(logits, group_ids):
     """Segmented softmax over the last axis (softmax_tree semantics).
 

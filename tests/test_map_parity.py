@@ -1,14 +1,21 @@
 """The BASELINE.md accuracy gate: VOC-style mAP parity vs the darknet
-CPU reference.
+CPU reference, over THREE detector topologies:
 
-The golden (tools/make_golden.gen_map_ab) trained a small region
+  * map_ab      — plain conv trunk (round-2 gate)
+  * map_ab_v2   — yolov2-style trunk: maxpool chain + route + reorg
+                  passthrough (cfg/yolo.cfg structure)
+  * map_ab_tree — WordTree region head: grouped softmax + the
+                  no-map hierarchy decode walk (region_layer.c:348-367)
+
+Each golden (tools/make_golden.gen_map_ab*) trained a small region
 detector on a deterministic synthetic set, then ran the reference's
 validate_detector loop (detector.c:244-369, via the oracle_valid
-driver) over it and stored the per-class detection files. This test
-regenerates the SAME images byte-for-byte (digest-guarded), runs OUR
-`detector valid` flow with the stored weights, scores both sides with
+driver) over it and stored the per-class detection files. The tests
+regenerate the SAME images byte-for-byte (digest-guarded), run OUR
+`detector valid` flow with the stored weights, score both sides with
 the same AP math (scripts/voc_eval.py:64-200 re-derivation in
-eval/voc.py), and asserts |mAP_ours - mAP_oracle| <= 0.1.
+eval/voc.py), and assert |mAP_ours - mAP_oracle| <= 0.1. The int8
+variant quantizes the v2 topology and holds the same gate.
 """
 
 import pathlib
@@ -39,7 +46,8 @@ def _parse_det_text(text):
     return dets
 
 
-def test_voc_map_parity_vs_oracle(tmp_path):
+def _run_map_ab(g, tmp_path, *, int8=False):
+    """Shared A/B harness: returns (our_map, oracle_map)."""
     import jax.numpy as jnp
     from tools.synth_dataset import (make_dataset, gt_corner_boxes,
                                      dataset_digest, N_CLASSES)
@@ -48,7 +56,6 @@ def test_voc_map_parity_vs_oracle(tmp_path):
     from sr_object_detection_tpu.ops import boxes as B
     from sr_object_detection_tpu.ops.image import load_image_rgb
 
-    g = _load("map_ab")
     data_dir = tmp_path / "data"
     list_path, gt = make_dataset(str(data_dir), int(g["n_images"]),
                                  int(g["seed"]))
@@ -56,16 +63,28 @@ def test_voc_map_parity_vs_oracle(tmp_path):
     assert digest == bytes(g["digest"]).decode(), \
         "synthetic dataset drifted from the one the oracle saw"
 
+    cfg_text = bytes(g["cfg"]).decode()
+    if "tree" in g.files:
+        tree_file = tmp_path / "tree.txt"
+        tree_file.write_text(bytes(g["tree"]).decode())
+        cfg_text = cfg_text.replace("TREEFILE", str(tree_file))
     cfg_file = tmp_path / "net.cfg"
-    cfg_file.write_text(bytes(g["cfg"]).decode())
+    cfg_file.write_text(cfg_text)
     wfile = tmp_path / "w.weights"
     wfile.write_bytes(bytes(g["weights"]))
+    offset = int(g["class_offset"]) if "class_offset" in g.files else 0
 
+    paths = [l.strip() for l in open(list_path) if l.strip()]
     det = Detector(str(cfg_file), str(wfile))
+    if int8:
+        calib = np.stack([det.preprocess(load_image_rgb(p))
+                          for p in paths[:8]])
+        det.quantize(calib)
     thresh, nms = float(g["thresh"]), float(g["nms"])
-    names = [str(c) for c in range(N_CLASSES)]
+    region = det.region
+    node_names = [str(c) for c in range(region.classes)]
     per_class_dets = {c: [] for c in range(N_CLASSES)}
-    for path in [l.strip() for l in open(list_path) if l.strip()]:
+    for path in paths:
         img = load_image_rgb(path)
         ih, iw = img.shape[:2]
         image_id = pathlib.Path(path).stem
@@ -75,9 +94,10 @@ def test_voc_map_parity_vs_oracle(tmp_path):
         probs = np.asarray(probs[0])
         probs = np.asarray(B.nms_sort_topk(
             jnp.asarray(boxes), jnp.asarray(probs), nms, k=len(boxes)))
-        lines = voc_det_lines(image_id, boxes, probs, names, iw, ih)
+        lines = voc_det_lines(image_id, boxes, probs, node_names, iw, ih)
         for c in range(N_CLASSES):
-            per_class_dets[c].extend(_parse_det_text("\n".join(lines[names[c]])))
+            per_class_dets[c].extend(_parse_det_text(
+                "\n".join(lines[node_names[c + offset]])))
 
     per_class_gt = gt_corner_boxes(gt)
     our_map, our_aps = mean_ap(per_class_dets, per_class_gt)
@@ -88,11 +108,28 @@ def test_voc_map_parity_vs_oracle(tmp_path):
     # stored oracle mAP must reproduce (same AP math, same inputs)
     np.testing.assert_allclose(oracle_map, float(g["oracle_map"]),
                                atol=1e-9)
-
     print(f"mAP ours={our_map:.4f} oracle={oracle_map:.4f} "
           f"per-class ours={our_aps} oracle={oracle_aps}")
+    return our_map, oracle_map
+
+
+@pytest.mark.parametrize("name", ["map_ab", "map_ab_v2", "map_ab_tree"])
+def test_voc_map_parity_vs_oracle(name, tmp_path):
+    g = _load(name)
+    our_map, oracle_map = _run_map_ab(g, tmp_path)
     assert abs(our_map - oracle_map) <= 0.1, (
-        f"mAP parity gate failed: ours={our_map:.4f} "
+        f"{name}: mAP parity gate failed: ours={our_map:.4f} "
         f"oracle={oracle_map:.4f}")
     # the gate must not pass vacuously on an untrained/broken detector
+    assert oracle_map > 0.2
+
+
+def test_voc_map_parity_int8_v2(tmp_path):
+    """int8 PTQ gate on the route/reorg topology (VERDICT r2 item 5):
+    the quantized yolov2-style engine holds the same mAP gate."""
+    g = _load("map_ab_v2")
+    our_map, oracle_map = _run_map_ab(g, tmp_path, int8=True)
+    assert abs(our_map - oracle_map) <= 0.1, (
+        f"int8 v2 mAP gate failed: ours={our_map:.4f} "
+        f"oracle={oracle_map:.4f}")
     assert oracle_map > 0.2

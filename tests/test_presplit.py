@@ -1,0 +1,105 @@
+"""Pre-split region decode contract (round-3): the engine emits
+(fields, class-probs) tensors instead of the darknet-flat output —
+exactness-pinned against the flat engine (which itself is pinned
+det-for-det against the C oracle via tests/test_parity.py /
+tests/golden/detect_tree_nomap.npz semantics, region_layer.c:328-379).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sr_object_detection_tpu.infer.engine import ThroughputEngine
+from sr_object_detection_tpu.io.weights import init_params
+from sr_object_detection_tpu.models.zoo import tiny_yolo_voc, yolov2
+
+
+def _reassemble(fields, cls):
+    """Host-side darknet field order: [x,y,w,h,obj | classes]."""
+    return np.concatenate([np.asarray(fields, np.float32),
+                           np.asarray(cls, np.float32)], axis=-1)
+
+
+def _flat_vs_presplit(spec, params, x, atol):
+    flat = ThroughputEngine(spec, params, batch=x.shape[0],
+                            dtype=jnp.float32)
+    pre = ThroughputEngine(spec, params, batch=x.shape[0],
+                           dtype=jnp.float32, presplit=True)
+    assert pre.presplit, "presplit engine did not engage"
+    out_flat = np.asarray(flat._run(flat.params, jnp.asarray(x)))
+    fields, cls = pre._run(pre.params, jnp.asarray(x))
+    region = spec.layers[-1]
+    nf = region.coords + region.classes + 1
+    got = _reassemble(fields, cls)
+    want = out_flat.reshape(got.shape[0], region.h, region.w,
+                            region.n, nf)
+    np.testing.assert_allclose(got, want, atol=atol)
+
+
+def test_presplit_matches_flat_tiny_yolo():
+    spec = tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    x = np.random.RandomState(0).uniform(
+        0, 1, (2, 64, 64, 3)).astype(np.float32)
+    # zero-padded extra head channels are exact: same conv, same math
+    _flat_vs_presplit(spec, params, x, atol=1e-5)
+
+
+def test_presplit_matches_flat_yolov2():
+    spec = yolov2(width=96, height=96)
+    params = init_params(spec, seed=1)
+    x = np.random.RandomState(1).uniform(
+        0, 1, (2, 96, 96, 3)).astype(np.float32)
+    _flat_vs_presplit(spec, params, x, atol=1e-5)
+
+
+def test_presplit_matches_flat_tree():
+    """Tree head (yolo9000 structure at 64 px): grouped softmax on the
+    pre-split class tensor must match the flat engine's."""
+    from sr_object_detection_tpu.models.zoo import yolo9000
+    spec = yolo9000(width=64, height=64,
+                    tree_file="/root/reference/cfg/9k.tree",
+                    map_file=None)
+    from sr_object_detection_tpu.io.weights import fast_init_params
+    params = fast_init_params(spec, seed=0)
+    x = np.random.RandomState(2).uniform(
+        0, 1, (1, 64, 64, 3)).astype(np.float32)
+    _flat_vs_presplit(spec, params, x, atol=2e-5)
+
+
+def test_detector_presplit_det_for_det(tmp_path):
+    """Detector(presplit=True) returns the same boxes/probs as the
+    standard Detector on the trained map_ab fixture (BN folding is the
+    only arithmetic difference — tolerance covers it)."""
+    import pathlib
+    golden = pathlib.Path(__file__).parent / "golden" / "map_ab.npz"
+    if not golden.exists():
+        pytest.skip("map_ab golden not generated")
+    g = np.load(golden)
+    cfg = tmp_path / "net.cfg"
+    cfg.write_text(bytes(g["cfg"]).decode())
+    w = tmp_path / "w.weights"
+    w.write_bytes(bytes(g["weights"]))
+    from sr_object_detection_tpu.infer.detector import Detector
+    d0 = Detector(str(cfg), str(w))
+    d1 = Detector(str(cfg), str(w), presplit=True)
+    x = np.random.RandomState(3).uniform(
+        0, 1, (2, d0.spec.net.h, d0.spec.net.w, 3)).astype(np.float32)
+    b0, p0 = jax.tree.map(np.asarray, d0.predict_batch(jnp.asarray(x)))
+    b1, p1 = jax.tree.map(np.asarray, d1.predict_batch(jnp.asarray(x)))
+    np.testing.assert_allclose(b0, b1, atol=1e-3)
+    np.testing.assert_allclose(p0, p1, atol=1e-3)
+
+
+def test_presplit_noop_without_region():
+    """Classifier specs keep the flat contract (presplit silently off)."""
+    from sr_object_detection_tpu.models.zoo import darknet19
+    spec = darknet19(width=64, height=64, classes=100)
+    params = init_params(spec, seed=0)
+    eng = ThroughputEngine(spec, params, batch=1, dtype=jnp.float32,
+                           presplit=True)
+    assert not eng.presplit
+    out = eng._run(eng.params, jnp.zeros((1, 64, 64, 3)))
+    assert not isinstance(out, tuple)

@@ -1255,3 +1255,266 @@ def gen_tree_classifier(oracle: str, seed: int = 0):
         tree=np.frombuffer(TREE_TEXT.encode(), dtype=np.uint8),
         seed=np.int64(seed), input_chw=x_chw, output=out)
     print(f"{name}: out {out}")
+
+
+# ---------------------------------------------------------------------
+# Round-3 mAP-gate widening: yolov2-style trunk (route/reorg/maxpool)
+# and a WordTree-decode config, both A/B'd against oracle_valid
+# (detector.c:244-369). VERDICT r2 item 5.
+# ---------------------------------------------------------------------
+
+MAP_AB_V2_CFG = """
+[net]
+batch=8
+subdivisions=1
+height=96
+width=96
+channels=3
+momentum=0.9
+decay=0.0005
+learning_rate=0.001
+max_batches=10000
+policy=steps
+steps=500,800
+scales=.2,.2
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=64
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=128
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[route]
+layers=-3
+
+[reorg]
+stride=2
+
+[route]
+layers=-1,-3
+
+[convolutional]
+filters=40
+size=1
+stride=1
+pad=1
+activation=linear
+
+[region]
+anchors=2.2,2.2, 3.6,2.8, 2.8,3.6, 4.8,4.8, 3.2,3.2
+bias_match=1
+classes=3
+coords=4
+num=5
+softmax=1
+rescore=1
+object_scale=5
+noobject_scale=1
+class_scale=1
+coord_scale=1
+thresh=.6
+"""
+
+# 5-node WordTree: two roots, leaves {2,3} under n0 and {4} under n1;
+# GT classes 0..2 map to leaf nodes 2..4 (class_offset=2)
+MAP_AB_TREE_TEXT = "n0 -1\nn1 -1\nn2 0\nn3 0\nn4 1\n"
+MAP_AB_TREE_OFFSET = 2
+
+MAP_AB_TREE_CFG = """
+[net]
+batch=8
+subdivisions=1
+height=64
+width=64
+channels=3
+momentum=0.9
+decay=0.0005
+learning_rate=0.001
+max_batches=10000
+policy=steps
+steps=500,800
+scales=.2,.2
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=64
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+filters=30
+size=1
+stride=1
+pad=1
+activation=linear
+
+[region]
+anchors=2.2,2.2, 3.6,2.8, 3.2,3.2
+bias_match=1
+classes=5
+coords=4
+num=3
+softmax=1
+rescore=1
+tree=TREEFILE
+thresh=.6
+object_scale=5
+noobject_scale=1
+class_scale=1
+coord_scale=1
+"""
+
+
+def _train_map_ab_named(cfg_text, list_path, gt, steps, seed,
+                        class_offset=0):
+    from sr_object_detection_tpu.train.trainer import Trainer
+    net = S.build_network_spec(parse_cfg_text(cfg_text))
+    trainer = Trainer(net, seed=seed)
+    for k, (x, truth) in enumerate(_map_ab_batches(
+            gt, list_path, net.net.w, net.net.h, net.net.batch, steps,
+            seed)):
+        if class_offset:
+            truth = truth.copy()
+            has = truth[..., 2] > 0       # real boxes (w > 0)
+            truth[..., 4] = np.where(has, truth[..., 4] + class_offset,
+                                     truth[..., 4])
+        m = trainer.step(x, truth)
+        if (k + 1) % 100 == 0:
+            print(f"  train {k+1}/{steps} loss={float(m['loss']):.3f}")
+    import jax
+    return net, jax.tree.map(np.asarray, trainer.state.params)
+
+
+def gen_map_ab_named(name, cfg_text,
+                     oracle_valid: str = "/tmp/refbuild/oracle_valid",
+                     steps: int = 400, tree_text: str | None = None,
+                     class_offset: int = 0):
+    """Generalized gen_map_ab: train OUR weights on the synthetic set,
+    run the reference validate_detector loop over them, store cfg +
+    weights + oracle detections (+ tree file) for the parity test."""
+    from tools.synth_dataset import (make_dataset, gt_corner_boxes,
+                                     dataset_digest, N_CLASSES)
+    from sr_object_detection_tpu.eval.voc import mean_ap
+
+    with tempfile.TemporaryDirectory() as td:
+        td = pathlib.Path(td)
+        data_dir = td / "data"
+        list_path, gt = make_dataset(str(data_dir), MAP_AB_IMAGES,
+                                     MAP_AB_SEED)
+        digest = dataset_digest(str(data_dir))
+        cfg_inst = cfg_text
+        if tree_text is not None:
+            (td / "tree.txt").write_text(tree_text)
+            cfg_inst = cfg_text.replace("TREEFILE", str(td / "tree.txt"))
+        net, params = _train_map_ab_named(cfg_inst, list_path, gt,
+                                          steps, MAP_AB_SEED,
+                                          class_offset)
+        save_weights(net, params, str(td / "w.weights"))
+        (td / "net.cfg").write_text(cfg_inst)
+        results = td / "results"
+        results.mkdir()
+        subprocess.run(
+            [oracle_valid, str(td / "net.cfg"), str(td / "w.weights"),
+             list_path, str(results), str(MAP_AB_THRESH),
+             str(MAP_AB_NMS)],
+            check=True, capture_output=True)
+        region = net.layers[-1]
+        n_out_classes = region.classes
+        det_texts = {}
+        per_class_dets = {}
+        for c in range(N_CLASSES):
+            node = c + class_offset
+            text = (results / f"comp4_det_test_{node}.txt").read_text()
+            det_texts[c] = text
+            dets = []
+            for line in text.splitlines():
+                f = line.split()
+                dets.append((f[0], float(f[1]), float(f[2]),
+                             float(f[3]), float(f[4]), float(f[5])))
+            per_class_dets[c] = dets
+        oracle_map, aps = mean_ap(per_class_dets, gt_corner_boxes(gt))
+        wbytes = (td / "w.weights").read_bytes()
+
+    extra = {}
+    if tree_text is not None:
+        extra["tree"] = np.frombuffer(tree_text.encode(), dtype=np.uint8)
+    np.savez_compressed(
+        GOLDEN / name,
+        cfg=np.frombuffer(cfg_text.encode(), dtype=np.uint8),
+        weights=np.frombuffer(wbytes, dtype=np.uint8),
+        digest=np.frombuffer(digest.encode(), dtype=np.uint8),
+        n_images=np.int64(MAP_AB_IMAGES), seed=np.int64(MAP_AB_SEED),
+        thresh=np.float32(MAP_AB_THRESH), nms=np.float32(MAP_AB_NMS),
+        class_offset=np.int64(class_offset),
+        oracle_map=np.float64(oracle_map),
+        **{f"dets_{c}": np.frombuffer(t.encode(), dtype=np.uint8)
+           for c, t in det_texts.items()}, **extra)
+    print(f"{name}: oracle mAP={oracle_map:.4f} per-class={aps}")
+
+
+def gen_map_ab_v2(oracle_valid: str = "/tmp/refbuild/oracle_valid",
+                  steps: int = 400):
+    gen_map_ab_named("map_ab_v2", MAP_AB_V2_CFG, oracle_valid, steps)
+
+
+def gen_map_ab_tree(oracle_valid: str = "/tmp/refbuild/oracle_valid",
+                    steps: int = 400):
+    gen_map_ab_named("map_ab_tree", MAP_AB_TREE_CFG, oracle_valid,
+                     steps, tree_text=MAP_AB_TREE_TEXT,
+                     class_offset=MAP_AB_TREE_OFFSET)
