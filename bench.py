@@ -72,7 +72,15 @@ def main():
         print(f"throughput int8: {qips:.0f} img/s (batch {batch}), "
               f"{qips*flops/1e12:.1f} TFLOP/s-equiv "
               f"({qips/ips:.2f}x bf16)", file=sys.stderr)
-        ips = max(ips, qips)
+        # HEADLINE: uint8 camera frames into the int8 engine — the /255
+        # is folded into the input quant, so the device reads 1 byte/px
+        # instead of 4 (the serving configuration for camera traffic)
+        ur = qeng.benchmark(iters=30, input_dtype=jnp.uint8)
+        uips = ur["images_per_sec"]
+        print(f"throughput int8 u8-frames: {uips:.0f} img/s "
+              f"(batch {batch}), {uips*flops/1e12:.1f} TFLOP/s-equiv "
+              f"({uips/ips:.2f}x bf16)", file=sys.stderr)
+        ips = max(ips, qips, uips)
     except Exception as e:
         print(f"int8 bench skipped: {e}", file=sys.stderr)
 
