@@ -104,6 +104,13 @@ def main():
               f"{drq['device_ms_per_frame']:.3f}ms/frame "
               f"({dr['device_ms_per_frame']/drq['device_ms_per_frame']:.2f}x"
               f" bf16)", file=sys.stderr)
+        # serving default is the measured winner, never a slower int8
+        # (best_latency_engine auto-fallback; VERDICT r2 item 3)
+        chosen = ("int8" if drq['device_ms_per_frame']
+                  <= dr['device_ms_per_frame'] else "bf16")
+        print(f"batch-1 serving default: {chosen} "
+              f"(auto-fallback via best_latency_engine)",
+              file=sys.stderr)
     except Exception as e:  # latency path must not sink the headline
         print(f"latency bench skipped: {e}", file=sys.stderr)
 

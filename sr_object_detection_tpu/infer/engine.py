@@ -496,6 +496,30 @@ class LatencyEngine:
         return {"device_ms_per_frame": dt / reps * 1e3, "reps": reps}
 
 
+def best_latency_engine(spec: S.NetworkSpec, params, *, int8_calib,
+                        dtype=jnp.bfloat16, reps: int = 100,
+                        frame_hw=None):
+    """Serving-default batch-1 engine: measure int8 vs bf16 ON DEVICE
+    and return the faster one (the int8 requant chain is latency-bound
+    at batch 1 and measured SLOWER than bf16 on v5e — 1.78 vs 1.06 ms —
+    so int8 must never be the blind default; BENCH_r02 batch-1 rows).
+
+    The returned engine carries a ``selection`` dict:
+    {"bf16_ms", "int8_ms", "chosen"}."""
+    e_bf = LatencyEngine(spec, params, dtype=dtype, frame_hw=frame_hw)
+    t_bf = e_bf.device_benchmark(reps=reps)["device_ms_per_frame"]
+    try:
+        e_i8 = LatencyEngine(spec, params, int8_calib=int8_calib,
+                             frame_hw=frame_hw)
+        t_i8 = e_i8.device_benchmark(reps=reps)["device_ms_per_frame"]
+    except NotImplementedError:
+        e_i8, t_i8 = None, float("inf")
+    win = e_i8 if (e_i8 is not None and t_i8 <= t_bf) else e_bf
+    win.selection = {"bf16_ms": t_bf, "int8_ms": t_i8,
+                     "chosen": "int8" if win is e_i8 else "bf16"}
+    return win
+
+
 def analytic_flops(spec: S.NetworkSpec) -> float:
     """Per-image forward FLOPs, same formula as the reference 'ops'
     command (darknet.c:115-131): 2*n*k^2*c*out_h*out_w per conv plus
@@ -512,4 +536,5 @@ def analytic_flops(spec: S.NetworkSpec) -> float:
 
 
 __all__ = ["ThroughputEngine", "LatencyEngine", "ShardedThroughputEngine",
-           "fold_params_for_inference", "analytic_flops"]
+           "best_latency_engine", "fold_params_for_inference",
+           "analytic_flops"]

@@ -191,3 +191,49 @@ def test_align_region_head_exactness():
     out_p = np.asarray(plain(x))
     out_a = np.asarray(aligned(x))
     np.testing.assert_allclose(out_a, out_p, rtol=1e-6, atol=1e-6)
+
+
+def test_best_latency_engine_fences_slow_int8(monkeypatch):
+    """Batch-1 serving default must never be a slower int8 path
+    (BENCH_r02: int8 batch-1 is 1.78 ms vs 1.06 bf16 on v5e):
+    best_latency_engine measures both on device and picks the winner."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.infer import engine as E
+    from sr_object_detection_tpu.io.weights import init_params
+    from sr_object_detection_tpu.models.zoo import tiny_yolo_voc
+
+    spec = tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    calib = np.random.RandomState(0).uniform(
+        0, 1, (2, 64, 64, 3)).astype(np.float32)
+
+    # force deterministic fake timings: int8 slower -> bf16 chosen
+    times = {"count": 0}
+    real_db = E.LatencyEngine.device_benchmark
+
+    def fake_db(self, reps=200):
+        times["count"] += 1
+        slow = getattr(self, "dtype", None) == jnp.float32  # int8 path
+        return {"device_ms_per_frame": 2.0 if slow else 1.0,
+                "reps": reps}
+
+    monkeypatch.setattr(E.LatencyEngine, "device_benchmark", fake_db)
+    eng = E.best_latency_engine(spec, params, int8_calib=calib, reps=2)
+    assert eng.selection["chosen"] == "bf16"
+    assert eng.selection["int8_ms"] > eng.selection["bf16_ms"]
+
+    # flipped timings -> int8 chosen
+    def fake_db2(self, reps=200):
+        fast = getattr(self, "dtype", None) == jnp.float32
+        return {"device_ms_per_frame": 0.5 if fast else 1.0,
+                "reps": reps}
+
+    monkeypatch.setattr(E.LatencyEngine, "device_benchmark", fake_db2)
+    eng2 = E.best_latency_engine(spec, params, int8_calib=calib, reps=2)
+    assert eng2.selection["chosen"] == "int8"
+    # the winner still runs end-to-end
+    monkeypatch.setattr(E.LatencyEngine, "device_benchmark", real_db)
+    frame = np.random.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    boxes, probs = eng2(frame)
+    assert np.isfinite(np.asarray(boxes)).all()
