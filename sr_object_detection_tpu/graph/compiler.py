@@ -166,7 +166,8 @@ def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None):
 
             elif isinstance(l, S.MaxPoolSpec):
                 cur = _as_nhwc(cur, l)
-                cur = P.maxpool(cur, size=l.size, stride=l.stride, pad=l.pad)
+                cur = P.maxpool(cur, size=l.size, stride=l.stride,
+                                pad=l.pad, for_training=train)
 
             elif isinstance(l, S.AvgPoolSpec):
                 cur = _as_nhwc(cur, l)

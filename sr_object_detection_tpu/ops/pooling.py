@@ -61,17 +61,26 @@ def _tiled_maxpool_bwd(size, x, g):
 _tiled_maxpool.defvjp(_tiled_maxpool_fwd, _tiled_maxpool_bwd)
 
 
-def maxpool(x, *, size: int, stride: int, pad: int, pad_value=None):
+def maxpool(x, *, size: int, stride: int, pad: int, pad_value=None,
+            for_training: bool = False):
     """Darknet maxpool. x: NHWC. ``pad_value`` overrides the -inf pad
-    identity for dtypes without one (the int8 path passes iinfo.min)."""
+    identity for dtypes without one (the int8 path passes iinfo.min).
+
+    ``for_training`` picks the formulation by regime (identical
+    semantics either way — select_and_scatter_add's tie rule IS
+    darknet's first-tap update, verified bit-for-bit incl. bf16 in
+    tests/test_ops.py::test_reduce_window_grad_is_first_tap):
+      * inference: tiled reshape+max — fuses into the producing conv's
+        epilogue (reduce_window costs a full HBM round trip there);
+      * training: reduce_window — its select_and_scatter_add backward
+        avoids the tiled custom-vjp's rank-6 mask/concat relayouts
+        (A/B on v5e tiny-yolo-416 B=128: 2511 vs 2154 img/s, -8.4 ms
+        of pool-zone copies per step)."""
     h, w = x.shape[1], x.shape[2]
     out_h = (h + 2 * pad) // stride
     out_w = (w + 2 * pad) // stride
-    if (size == stride and pad == 0 and h % size == 0 and w % size == 0):
-        # non-overlapping exact tiling: reshape+max lets XLA fuse the
-        # reduction into the producing conv's epilogue (reduce_window
-        # blocks that fusion and costs a full HBM round trip); the
-        # custom vjp gives the darknet first-tap backward in one pass
+    if (size == stride and pad == 0 and h % size == 0 and w % size == 0
+            and not for_training):
         return _tiled_maxpool(x, size)
     # right/bottom padding so the last window fits: the reference reads
     # out-of-bounds taps as -FLT_MAX (maxpool_layer.c:101-103); padding

@@ -299,3 +299,36 @@ def test_bn_fast_core_constant_channel_no_nan():
     g = jax.grad(lambda xx: jnp.sum(
         _bn_core_fast(xx, sc, shift)[0].astype(jnp.float32)))(x)
     assert np.all(np.isfinite(np.asarray(g, np.float32)))
+
+
+def test_reduce_window_grad_is_first_tap():
+    """select_and_scatter_add's tie rule (the reduce_window max
+    gradient) IS darknet's strict-> first-tap update
+    (maxpool_layer.c:95-108): bit-for-bit equal to the tiled custom
+    vjp on tie-heavy inputs, f32 and bf16. This equivalence is what
+    lets training use the reduce_window formulation (ops/pooling.py
+    for_training) without changing parity."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from sr_object_detection_tpu.ops.pooling import _tiled_maxpool
+
+    def rw_pool(x, size=2):
+        return lax.reduce_window(
+            x, -jnp.inf, lax.max, window_dimensions=(1, size, size, 1),
+            window_strides=(1, size, size, 1),
+            padding=((0, 0), (0, 0), (0, 0), (0, 0)))
+
+    rng = np.random.RandomState(0)
+    x = (rng.randint(0, 3, (2, 8, 8, 4)) * 0.5).astype(np.float32)
+    g = rng.uniform(-1, 1, (2, 4, 4, 4)).astype(np.float32)
+    d1 = jax.grad(lambda x: jnp.vdot(_tiled_maxpool(x, 2), g))(
+        jnp.asarray(x))
+    d2 = jax.grad(lambda x: jnp.vdot(rw_pool(x), g))(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    xb = jnp.asarray(x, jnp.bfloat16)
+    d1b = jax.grad(lambda x: jnp.vdot(
+        _tiled_maxpool(x, 2).astype(jnp.float32), g))(xb)
+    d2b = jax.grad(lambda x: jnp.vdot(
+        rw_pool(x).astype(jnp.float32), g))(xb)
+    np.testing.assert_array_equal(np.asarray(d1b), np.asarray(d2b))
