@@ -146,15 +146,28 @@ def main():
         from sr_object_detection_tpu.io.weights import fast_init_params
         spec9 = yolo9000(tree_file="/root/reference/cfg/9k.tree",
                          map_file=None)
-        eng9 = ThroughputEngine(spec9, fast_init_params(spec9, seed=0),
-                                batch=32, dtype=jnp.bfloat16)
+        p9 = fast_init_params(spec9, seed=0)
+        # presplit decode contract (round 3): (fields, cls) output, no
+        # darknet-flat reassembly — measured 1254 -> 1376 img/s
+        eng9 = ThroughputEngine(spec9, p9, batch=32,
+                                dtype=jnp.bfloat16, presplit=True)
         eng9.warmup()
         r9 = eng9.benchmark(iters=10)
         f9 = analytic_flops(spec9)
-        print(f"yolo9000-416 (28269-ch head + 9k tree): "
+        print(f"yolo9000-416 (28269-ch head + 9k tree, presplit): "
               f"{r9['images_per_sec']:.0f} img/s (batch 32), "
               f"{r9['images_per_sec']*f9/1e12:.1f} TFLOP/s",
               file=sys.stderr)
+        from sr_object_detection_tpu.infer.quant import (
+            QuantizedThroughputEngine as _QTE)
+        calib9 = np.random.RandomState(0).uniform(
+            0, 1, (8, spec9.net.h, spec9.net.w, 3)).astype(np.float32)
+        q9 = _QTE(spec9, p9, batch=32, calib_x=calib9)
+        q9.warmup()
+        qr9 = q9.benchmark(iters=10)
+        print(f"yolo9000-416 int8: {qr9['images_per_sec']:.0f} img/s "
+              f"({qr9['images_per_sec']/r9['images_per_sec']:.2f}x "
+              f"presplit-bf16)", file=sys.stderr)
     except Exception as e:
         print(f"yolo9000 bench skipped: {e}", file=sys.stderr)
 

@@ -134,8 +134,11 @@ def calibrate_amax(spec: S.NetworkSpec, params_f32, calib_x,
     @jax.jit
     def observe(params, x):
         _, aux = net.forward(params, x, keep_all=True)
-        return {i: jnp.max(jnp.abs(t.astype(jnp.float32)))
-                for i, t in aux["outputs"].items()}
+        def amax_of(t):
+            if isinstance(t, tuple):   # presplit region (fields, cls)
+                return jnp.maximum(*[amax_of(p) for p in t])
+            return jnp.max(jnp.abs(t.astype(jnp.float32)))
+        return {i: amax_of(t) for i, t in aux["outputs"].items()}
 
     amax_dev = observe(jax.tree.map(jnp.asarray, params_f32),
                        jnp.asarray(calib_x, jnp.float32))
@@ -177,7 +180,8 @@ def _supported_prefix(layers) -> int:
 
 def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
                            *, head_dtype=jnp.bfloat16,
-                           tree_search_dirs=()) -> QuantizedNetwork:
+                           tree_search_dirs=(),
+                           presplit: bool = False) -> QuantizedNetwork:
     """Fold BN, calibrate activation scales on ``calib_x`` (f32 NHWC
     sample batch), quantize weights per-channel, and build the int8
     forward.
@@ -190,10 +194,27 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
     crossing the trunk/tail boundary, raise NotImplementedError.
 
     ``calib_x`` may be a path (str) to a batch saved with
-    :func:`save_calib`."""
+    :func:`save_calib`.
+
+    ``presplit=True`` lane-aligns the region head and emits the
+    pre-split (fields, cls) contract (ops.boxes.region_activate_split)
+    instead of the darknet-flat output — the int8-trunk and
+    decode-boundary optimizations stack (yolo9000 serving)."""
     calib_x = _resolve_calib(calib_x)
     params_f, fspec = fold_params_for_inference(spec, params,
                                                 dtype=jnp.float32)
+    if presplit:
+        import dataclasses
+        from .engine import align_region_head
+        fspec, params_f = align_region_head(fspec, params_f,
+                                            min_classes=1)
+        last = fspec.layers[-1]
+        if isinstance(last, S.RegionSpec) and last.head_block:
+            fspec = S.NetworkSpec(
+                net=fspec.net,
+                layers=(*fspec.layers[:-1],
+                        dataclasses.replace(last, presplit=True)),
+                cfg_path=fspec.cfg_path)
     split = _supported_prefix(fspec.layers)
     if split < 2:
         raise NotImplementedError(
@@ -347,10 +368,19 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
             elif isinstance(l, S.RegionSpec):
                 nf = l.coords + l.classes + 1
                 tree = trees.get(i)
-                acts = B.region_activate(
-                    cur.astype(jnp.float32), l.n, nf, softmax=l.softmax,
-                    tree_groups=tree.group if tree is not None else None)
-                cur = acts.reshape(acts.shape[0], -1)
+                if l.presplit and l.head_block:
+                    cur = B.region_activate_split(
+                        cur.astype(jnp.float32), l.n, l.coords,
+                        l.classes, l.head_block, softmax=l.softmax,
+                        tree_groups=tree.group if tree is not None
+                        else None)
+                else:
+                    acts = B.region_activate(
+                        cur.astype(jnp.float32), l.n, nf,
+                        softmax=l.softmax,
+                        tree_groups=tree.group if tree is not None
+                        else None)
+                    cur = acts.reshape(acts.shape[0], -1)
             saved[i] = cur
         if tail_fwd is not None:
             if cur.dtype == jnp.int8:      # trunk ended on an int8 layer
@@ -358,7 +388,7 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
                        * jnp.asarray(s_out[split - 1], head_dtype))
             out, _ = tail_fwd(tail_params, cur)
             return out
-        if cur.dtype == jnp.int8:
+        if not isinstance(cur, tuple) and cur.dtype == jnp.int8:
             # fully-supported spec ending on a non-head int8 layer (e.g.
             # a conv/maxpool-terminated trunk with no float tail):
             # dequantize so the contract — f32-domain outputs — holds
@@ -392,7 +422,8 @@ class QuantizedThroughputEngine:
     block_until_ready is not trusted on tunneled deployments)."""
 
     def __init__(self, spec: S.NetworkSpec, params, *, batch: int = 128,
-                 calib_x=None, tree_search_dirs=()):
+                 calib_x=None, tree_search_dirs=(),
+                 presplit: bool = False):
         self.batch = batch
         calib_x = _resolve_calib(calib_x)   # str -> saved batch
         if calib_x is None:
@@ -409,8 +440,11 @@ class QuantizedThroughputEngine:
                 0, 1, (min(batch, 8), spec.net.h, spec.net.w,
                        spec.net.c)).astype(np.float32)
         qnet = quantize_for_inference(spec, params, calib_x,
-                                      tree_search_dirs=tree_search_dirs)
+                                      tree_search_dirs=tree_search_dirs,
+                                      presplit=presplit)
         self.qnet = qnet
+        self.presplit = isinstance(qnet.spec.layers[-1], S.RegionSpec) \
+            and qnet.spec.layers[-1].presplit
         fwd = qnet.forward
         qp = qnet.qparams
 
@@ -420,7 +454,10 @@ class QuantizedThroughputEngine:
 
         @jax.jit
         def run_sum(x):
-            return jnp.sum(fwd(qp, x).astype(jnp.float32))
+            out = fwd(qp, x)
+            if isinstance(out, tuple):
+                return sum(jnp.sum(o.astype(jnp.float32)) for o in out)
+            return jnp.sum(out.astype(jnp.float32))
 
         self._run = run
         self._run_sum = run_sum

@@ -131,6 +131,10 @@ def make_train_step(spec: S.NetworkSpec, *, mesh=None,
         xs = x.reshape(subdivs, micro, *x.shape[1:])
         ts = truth.reshape(subdivs, micro, *truth.shape[1:])
 
+        # Measured (v5e, round 3): the subdivisions=1 degenerate scan is
+        # FREE — a scan-less value_and_grad variant benched 2490 vs
+        # 2488 img/s on tiny-yolo-416 B=128. Don't special-case it.
+        #
         # BN rolling stats are threaded through the scan carry so each
         # micro-batch applies its 0.9/0.1 update against the PREVIOUS
         # micro's result — the reference's sequential cadence

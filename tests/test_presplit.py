@@ -103,3 +103,25 @@ def test_presplit_noop_without_region():
     assert not eng.presplit
     out = eng._run(eng.params, jnp.zeros((1, 64, 64, 3)))
     assert not isinstance(out, tuple)
+
+
+def test_presplit_int8_matches_flat_int8():
+    """int8 trunk + presplit head: same numbers as int8 flat (the
+    decode-boundary and quantization optimizations stack for yolo9000
+    serving)."""
+    from sr_object_detection_tpu.infer.quant import (
+        quantize_for_inference)
+    spec = tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    rng = np.random.RandomState(5)
+    calib = rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    q_flat = quantize_for_inference(spec, params, calib)
+    q_pre = quantize_for_inference(spec, params, calib, presplit=True)
+    flat = np.asarray(q_flat.forward(q_flat.qparams, jnp.asarray(x)))
+    fields, cls = q_pre.forward(q_pre.qparams, jnp.asarray(x))
+    region = spec.layers[-1]
+    nf = region.coords + region.classes + 1
+    got = _reassemble(fields, cls)
+    want = flat.reshape(got.shape[0], region.h, region.w, region.n, nf)
+    np.testing.assert_allclose(got, want, atol=2e-5)

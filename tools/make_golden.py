@@ -1444,7 +1444,7 @@ def _train_map_ab_named(cfg_text, list_path, gt, steps, seed,
 def gen_map_ab_named(name, cfg_text,
                      oracle_valid: str = "/tmp/refbuild/oracle_valid",
                      steps: int = 400, tree_text: str | None = None,
-                     class_offset: int = 0):
+                     class_offset: int = 0, lr: float | None = None):
     """Generalized gen_map_ab: train OUR weights on the synthetic set,
     run the reference validate_detector loop over them, store cfg +
     weights + oracle detections (+ tree file) for the parity test."""
@@ -1459,6 +1459,11 @@ def gen_map_ab_named(name, cfg_text,
                                      MAP_AB_SEED)
         digest = dataset_digest(str(data_dir))
         cfg_inst = cfg_text
+        if lr is not None:
+            # deeper trunks (route/reorg) need a hotter LR to learn
+            # objectness within a golden-generation budget
+            cfg_inst = cfg_inst.replace("learning_rate=0.001",
+                                        f"learning_rate={lr}")
         if tree_text is not None:
             (td / "tree.txt").write_text(tree_text)
             cfg_inst = cfg_text.replace("TREEFILE", str(td / "tree.txt"))
@@ -1509,8 +1514,9 @@ def gen_map_ab_named(name, cfg_text,
 
 
 def gen_map_ab_v2(oracle_valid: str = "/tmp/refbuild/oracle_valid",
-                  steps: int = 400):
-    gen_map_ab_named("map_ab_v2", MAP_AB_V2_CFG, oracle_valid, steps)
+                  steps: int = 2200):
+    gen_map_ab_named("map_ab_v2", MAP_AB_V2_CFG, oracle_valid, steps,
+                     lr=0.003)
 
 
 def gen_map_ab_tree(oracle_valid: str = "/tmp/refbuild/oracle_valid",
