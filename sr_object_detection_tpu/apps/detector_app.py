@@ -195,19 +195,25 @@ def validate_recall(data_cfg: str, cfg: str, weights: str,
 
 
 def demo_detector(cfg: str, weights: str, argv: list[str]):
-    """detector demo (demo.c:118-252) over an image-directory source:
-    fetch/detect overlap + 3-frame smoothing."""
+    """detector demo (demo.c:118-252): fetch/detect overlap + 3-frame
+    smoothing over an image-directory source (-frames) or a real video
+    file (-video; demo.c:57's cvCaptureFromFile analog — PIL
+    multi-frame containers in-process, anything else via an ffmpeg
+    rawvideo pipe)."""
     from ..infer.detector import Detector
-    from ..robot.frame_source import ImageDirectorySource
+    from ..robot.frame_source import (ImageDirectorySource,
+                                      VideoFileSource)
     from .demo_app import StreamingDemo
+    video = find_value(argv, "-video", None)
     pattern = find_value(argv, "-frames", "frames/*.ppm")
     names_file = find_value(argv, "-names", None)
     names = read_names(names_file) if names_file else None
     thresh = find_value(argv, "-thresh", 0.24, float)
     out_dir = find_value(argv, "-outdir", None)
     det = Detector(cfg, weights, names=names)
-    demo = StreamingDemo(det, ImageDirectorySource(pattern),
-                         thresh=thresh, out_dir=out_dir)
+    source = (VideoFileSource(video) if video
+              else ImageDirectorySource(pattern))
+    demo = StreamingDemo(det, source, thresh=thresh, out_dir=out_dir)
 
     def show(r):
         labels = ", ".join(f"{d.name or d.class_id}:{d.prob:.2f}"

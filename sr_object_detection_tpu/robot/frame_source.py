@@ -154,3 +154,85 @@ class RawRGBDSource(FrameSource):
 
 __all__ = ["RGBDFrame", "FrameSource", "SyntheticRGBDSource",
            "ImageDirectorySource", "RawRGBDSource", "KINECT_INTRINSICS"]
+
+
+class VideoFileSource(FrameSource):
+    """Live video decode for `detector demo` (demo.c:57
+    cvCaptureFromFile / get_image_from_stream): streams frames out of a
+    real video file instead of an image directory.
+
+    Two decode backends, chosen by availability:
+      * PIL multi-frame containers (.gif/.tiff/.webp) — in-process,
+        zero external deps; animated GIF is the test vehicle;
+      * everything else (mp4/avi/mkv/...) through an ffmpeg rawvideo
+        pipe (``ffmpeg -i f -f rawvideo -pix_fmt rgb24 -``), geometry
+        probed with ffprobe — the deployment path when the binary
+        exists.
+    """
+
+    _PIL_MULTIFRAME = (".gif", ".tif", ".tiff", ".webp", ".apng",
+                       ".png")
+
+    def __init__(self, path: str, loop: bool = False):
+        self.path = path
+        self.loop = loop
+        ext = os.path.splitext(path)[1].lower()
+        self._proc = None
+        if ext in self._PIL_MULTIFRAME:
+            self._mode = "pil"
+            self._open_pil()
+        else:
+            import shutil
+            if shutil.which("ffmpeg") is None:
+                raise RuntimeError(
+                    f"decoding {ext!r} needs ffmpeg on PATH (PIL "
+                    f"handles {'/'.join(self._PIL_MULTIFRAME)})")
+            self._mode = "ffmpeg"
+            self._open_ffmpeg()
+
+    # -- PIL backend ---------------------------------------------------
+    def _open_pil(self):
+        from PIL import Image, ImageSequence
+        self._img = Image.open(self.path)
+        self._frames = ImageSequence.Iterator(self._img)
+        self._it = iter(self._frames)
+
+    # -- ffmpeg backend ------------------------------------------------
+    def _open_ffmpeg(self):
+        import json
+        import subprocess
+        probe = subprocess.run(
+            ["ffprobe", "-v", "error", "-select_streams", "v:0",
+             "-show_entries", "stream=width,height", "-of", "json",
+             self.path], capture_output=True, text=True, check=True)
+        st = json.loads(probe.stdout)["streams"][0]
+        self._w, self._h = int(st["width"]), int(st["height"])
+        self._proc = subprocess.Popen(
+            ["ffmpeg", "-v", "error", "-i", self.path, "-f", "rawvideo",
+             "-pix_fmt", "rgb24", "-"],
+            stdout=subprocess.PIPE)
+
+    def next(self) -> Optional[RGBDFrame]:
+        if self._mode == "pil":
+            try:
+                frame = next(self._it)
+            except StopIteration:
+                if not self.loop:
+                    return None
+                self._open_pil()
+                frame = next(self._it)
+            arr = np.asarray(frame.convert("RGB"), np.uint8)
+            return RGBDFrame(color=arr, depth=None,
+                             timestamp=time.time())
+        buf = self._proc.stdout.read(self._w * self._h * 3)
+        if len(buf) < self._w * self._h * 3:
+            self._proc.stdout.close()
+            self._proc.wait()
+            if not self.loop:
+                return None
+            self._open_ffmpeg()
+            buf = self._proc.stdout.read(self._w * self._h * 3)
+            if len(buf) < self._w * self._h * 3:
+                return None
+        arr = np.frombuffer(buf, np.uint8).reshape(self._h, self._w, 3)
+        return RGBDFrame(color=arr, depth=None, timestamp=time.time())
