@@ -1346,7 +1346,7 @@ coords=4
 num=5
 softmax=1
 rescore=1
-object_scale=5
+object_scale=30
 noobject_scale=1
 class_scale=1
 coord_scale=1
@@ -1444,7 +1444,8 @@ def _train_map_ab_named(cfg_text, list_path, gt, steps, seed,
 def gen_map_ab_named(name, cfg_text,
                      oracle_valid: str = "/tmp/refbuild/oracle_valid",
                      steps: int = 400, tree_text: str | None = None,
-                     class_offset: int = 0, lr: float | None = None):
+                     class_offset: int = 0, lr: float | None = None,
+                     thresh: float | None = None):
     """Generalized gen_map_ab: train OUR weights on the synthetic set,
     run the reference validate_detector loop over them, store cfg +
     weights + oracle detections (+ tree file) for the parity test."""
@@ -1474,9 +1475,10 @@ def gen_map_ab_named(name, cfg_text,
         (td / "net.cfg").write_text(cfg_inst)
         results = td / "results"
         results.mkdir()
+        use_thresh = MAP_AB_THRESH if thresh is None else thresh
         subprocess.run(
             [oracle_valid, str(td / "net.cfg"), str(td / "w.weights"),
-             list_path, str(results), str(MAP_AB_THRESH),
+             list_path, str(results), str(use_thresh),
              str(MAP_AB_NMS)],
             check=True, capture_output=True)
         region = net.layers[-1]
@@ -1505,7 +1507,8 @@ def gen_map_ab_named(name, cfg_text,
         weights=np.frombuffer(wbytes, dtype=np.uint8),
         digest=np.frombuffer(digest.encode(), dtype=np.uint8),
         n_images=np.int64(MAP_AB_IMAGES), seed=np.int64(MAP_AB_SEED),
-        thresh=np.float32(MAP_AB_THRESH), nms=np.float32(MAP_AB_NMS),
+        thresh=np.float32(MAP_AB_THRESH if thresh is None else thresh),
+        nms=np.float32(MAP_AB_NMS),
         class_offset=np.int64(class_offset),
         oracle_map=np.float64(oracle_map),
         **{f"dets_{c}": np.frombuffer(t.encode(), dtype=np.uint8)
@@ -1514,9 +1517,12 @@ def gen_map_ab_named(name, cfg_text,
 
 
 def gen_map_ab_v2(oracle_valid: str = "/tmp/refbuild/oracle_valid",
-                  steps: int = 2200):
+                  steps: int = 2000):
+    # deeper route/reorg trunk: objectness converges slowly at batch 8,
+    # so train hotter (lr 3e-3, object_scale 30) and gate detections at
+    # a lower threshold — the A/B tests DECODE parity, not model quality
     gen_map_ab_named("map_ab_v2", MAP_AB_V2_CFG, oracle_valid, steps,
-                     lr=0.003)
+                     lr=0.003, thresh=0.001)
 
 
 def gen_map_ab_tree(oracle_valid: str = "/tmp/refbuild/oracle_valid",
