@@ -60,6 +60,7 @@ def cmd_detect(argv):
     thresh = find_value(argv, "-thresh", 0.24, float)
     out_path = find_value(argv, "-out", None)
     use_int8 = find_arg(argv, "-int8")
+    use_presplit = find_arg(argv, "-presplit")
     cfg, weights, image = argv[0], argv[1], argv[2]
     from ..infer.detector import Detector
     from ..ops.image import load_image_rgb
@@ -77,7 +78,8 @@ def cmd_detect(argv):
         _spec = parse_network_cfg(cfg)
         from ..ops.image import resize_image_np
         calib = resize_image_np(img, _spec.net.w, _spec.net.h)[None]
-    det = Detector(cfg, weights, names=names, int8_calib=calib)
+    det = Detector(cfg, weights, names=names, int8_calib=calib,
+                   presplit=use_presplit)
     t0 = time.time()
     dets = det.detect(img, thresh=thresh)
     print(f"{image}: Predicted in {time.time()-t0:.6f} seconds.")
@@ -133,6 +135,7 @@ def cmd_speed(argv):
     """darknet.c:98-113: time `tics` forwards, print sec/eval and Hz.
     `-batch N` widens the eval; `-int8` uses the quantized engine."""
     use_int8 = find_arg(argv, "-int8")
+    use_presplit = find_arg(argv, "-presplit")
     batch = find_value(argv, "-batch", 1, int)
     cfg = argv[0]
     tics = int(argv[1]) if len(argv) > 1 else 20
@@ -144,10 +147,12 @@ def cmd_speed(argv):
     params = init_params(spec)
     if use_int8:
         from ..infer.quant import QuantizedThroughputEngine
-        eng = QuantizedThroughputEngine(spec, params, batch=batch)
+        eng = QuantizedThroughputEngine(spec, params, batch=batch,
+                                        presplit=use_presplit)
     else:
         eng = ThroughputEngine(spec, params, batch=batch,
-                               dtype=jnp.bfloat16)
+                               dtype=jnp.bfloat16,
+                               presplit=use_presplit)
     eng.warmup()
     r = eng.benchmark(iters=tics)
     sec = r["sec_per_batch"]

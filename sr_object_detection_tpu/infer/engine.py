@@ -313,7 +313,7 @@ class ShardedThroughputEngine:
 
     def __init__(self, spec: S.NetworkSpec, params, *, mesh,
                  batch: int = 128, dtype=jnp.bfloat16,
-                 tp_min_filters: int = 2048):
+                 tp_min_filters: int = 2048, presplit: bool = False):
         from ..parallel.mesh import batch_sharding, shard_params
         if batch % mesh.shape["data"]:
             raise ValueError(
@@ -324,13 +324,29 @@ class ShardedThroughputEngine:
         self.dtype = dtype
         self.params, self.spec = fold_params_for_inference(
             spec, params, dtype)
+        self.presplit = False
+        if presplit:
+            import dataclasses
+            self.spec, self.params = align_region_head(
+                self.spec, self.params, min_classes=1)
+            last = self.spec.layers[-1]
+            if isinstance(last, S.RegionSpec) and last.head_block:
+                self.spec = S.NetworkSpec(
+                    net=self.spec.net,
+                    layers=(*self.spec.layers[:-1],
+                            dataclasses.replace(last, presplit=True)),
+                    cfg_path=self.spec.cfg_path)
+                self.presplit = True
         self.params = shard_params(mesh, self.params, self.spec,
                                    tp_min_filters=tp_min_filters)
         compiled = CompiledNetwork(self.spec, compute_dtype=dtype)
         fwd = compiled.forward
         bs = batch_sharding(mesh)
 
-        @partial(jax.jit, in_shardings=(None, bs), out_shardings=bs)
+        # presplit returns a (fields, cls) tuple: batch-shard each leaf
+        out_sh = (bs, bs) if self.presplit else bs
+
+        @partial(jax.jit, in_shardings=(None, bs), out_shardings=out_sh)
         def run(params, x):
             out, _ = fwd(params, x.astype(dtype))
             return out
@@ -338,6 +354,8 @@ class ShardedThroughputEngine:
         @partial(jax.jit, in_shardings=(None, bs))
         def run_sum(params, x):
             out, _ = fwd(params, x.astype(dtype))
+            if isinstance(out, tuple):
+                return sum(jnp.sum(o.astype(jnp.float32)) for o in out)
             return jnp.sum(out.astype(jnp.float32))
 
         self._run = run

@@ -212,3 +212,37 @@ def test_sharded_inference_engine_matches_single_device():
                                    err_msg=f"mp={mp}")
         r = eng.benchmark(iters=2, warmup=1)
         assert r["images_per_sec"] > 0
+
+
+def test_sharded_presplit_matches_single_device():
+    """ShardedThroughputEngine presplit: multi-chip DP serving with the
+    pre-split decode contract equals the single-device presplit engine
+    exactly (f32)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.infer.engine import (
+        ShardedThroughputEngine, ThroughputEngine)
+    from sr_object_detection_tpu.io.weights import init_params
+    from sr_object_detection_tpu.models.zoo import tiny_yolo_voc
+    from sr_object_detection_tpu.parallel.mesh import make_mesh
+
+    spec = tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    x = np.random.RandomState(0).uniform(
+        0, 1, (8, 64, 64, 3)).astype(np.float32)
+    mesh = make_mesh(4, model_parallel=1)
+    sharded = ShardedThroughputEngine(spec, params, mesh=mesh, batch=8,
+                                      dtype=jnp.float32, presplit=True)
+    assert sharded.presplit
+    single = ThroughputEngine(spec, params, batch=8, dtype=jnp.float32,
+                              presplit=True)
+    with mesh:
+        fs, cs = sharded._run(sharded.params, jnp.asarray(x))
+    f1, c1 = single._run(single.params, jnp.asarray(x))
+    # per-device batch differs (2 vs 8) so conv accumulation order may
+    # reassociate; equality is to f32 rounding, not bitwise
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(f1),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cs), np.asarray(c1),
+                               rtol=1e-3, atol=1e-5)
