@@ -162,10 +162,18 @@ def main():
             QuantizedThroughputEngine as _QTE)
         calib9 = np.random.RandomState(0).uniform(
             0, 1, (8, spec9.net.h, spec9.net.w, 3)).astype(np.float32)
-        q9 = _QTE(spec9, p9, batch=32, calib_x=calib9)
+        # full serving stack (round 3): int8 trunk + int8 head conv +
+        # bf16 region decode + presplit contract. The 1024->28269 head
+        # is write-bandwidth-bound (611 MB f32 logits/batch at 13x13);
+        # bf16 decode halves that. Measured 1332 -> 1699 img/s on v5e;
+        # mAP-gated end-to-end by tests/test_map_parity.py::
+        # test_voc_map_parity_full_serving_stack.
+        q9 = _QTE(spec9, p9, batch=32, calib_x=calib9, presplit=True,
+                  quantize_head=True, region_dtype=jnp.bfloat16)
         q9.warmup()
         qr9 = q9.benchmark(iters=10)
-        print(f"yolo9000-416 int8: {qr9['images_per_sec']:.0f} img/s "
+        print(f"yolo9000-416 int8 full stack (qhead+bf16-decode+"
+              f"presplit): {qr9['images_per_sec']:.0f} img/s "
               f"({qr9['images_per_sec']/r9['images_per_sec']:.2f}x "
               f"presplit-bf16)", file=sys.stderr)
     except Exception as e:

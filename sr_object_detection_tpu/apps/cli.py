@@ -61,6 +61,7 @@ def cmd_detect(argv):
     out_path = find_value(argv, "-out", None)
     use_int8 = find_arg(argv, "-int8")
     use_presplit = find_arg(argv, "-presplit")
+    use_qhead = find_arg(argv, "-qhead")   # int8 head conv too
     cfg, weights, image = argv[0], argv[1], argv[2]
     from ..infer.detector import Detector
     from ..ops.image import load_image_rgb
@@ -79,7 +80,7 @@ def cmd_detect(argv):
         from ..ops.image import resize_image_np
         calib = resize_image_np(img, _spec.net.w, _spec.net.h)[None]
     det = Detector(cfg, weights, names=names, int8_calib=calib,
-                   presplit=use_presplit)
+                   presplit=use_presplit, quantize_head=use_qhead)
     t0 = time.time()
     dets = det.detect(img, thresh=thresh)
     print(f"{image}: Predicted in {time.time()-t0:.6f} seconds.")
@@ -136,6 +137,7 @@ def cmd_speed(argv):
     `-batch N` widens the eval; `-int8` uses the quantized engine."""
     use_int8 = find_arg(argv, "-int8")
     use_presplit = find_arg(argv, "-presplit")
+    use_qhead = find_arg(argv, "-qhead")
     batch = find_value(argv, "-batch", 1, int)
     cfg = argv[0]
     tics = int(argv[1]) if len(argv) > 1 else 20
@@ -148,7 +150,8 @@ def cmd_speed(argv):
     if use_int8:
         from ..infer.quant import QuantizedThroughputEngine
         eng = QuantizedThroughputEngine(spec, params, batch=batch,
-                                        presplit=use_presplit)
+                                        presplit=use_presplit,
+                                        quantize_head=use_qhead)
     else:
         eng = ThroughputEngine(spec, params, batch=batch,
                                dtype=jnp.bfloat16,

@@ -50,7 +50,7 @@ class Detector:
                  compute_dtype=None, letterbox: bool = False,
                  map_path: Optional[str] = None,
                  nms_topk: int = 128, int8_calib=None,
-                 presplit: bool = False):
+                 presplit: bool = False, quantize_head: bool = False):
         self.spec = S.parse_network_cfg(cfg_path)
         self.compiled = CompiledNetwork(self.spec, compute_dtype=compute_dtype)
         if weights_path:
@@ -82,7 +82,7 @@ class Detector:
                 self.compiled = CompiledNetwork(
                     fspec, compute_dtype=compute_dtype)
         if int8_calib is not None:
-            self.quantize(int8_calib)
+            self.quantize(int8_calib, quantize_head=quantize_head)
         self.names = list(names) if names else None
         self.letterbox = letterbox
         self.nms_topk = nms_topk
@@ -97,16 +97,20 @@ class Detector:
         self._predict = jax.jit(partial(self._predict_impl, train=False))
 
     # ------------------------------------------------------------------
-    def quantize(self, calib_x):
+    def quantize(self, calib_x, *, quantize_head: bool = False,
+                 region_dtype=None):
         """Swap the forward for the int8 program IN PLACE, calibrated on
         ``calib_x`` (preprocessed NHWC f32 sample batch). Reuses the
         already-loaded params — no second weights read — and keeps every
         constructor setting (names/letterbox/nms_topk). Decode is
-        unchanged: the head conv and region stay in float
-        (infer/quant.py)."""
+        unchanged: by default the head conv and region stay in float;
+        ``quantize_head=True`` runs the head conv in int8 too and
+        ``region_dtype=jnp.bfloat16`` runs the region decode in bf16
+        (the yolo9000 serving levers — see infer/quant.py)."""
         from .quant import QuantizedForwardShim
         self.compiled = QuantizedForwardShim(
-            self.spec, self.params, calib_x, self.compiled.trees)
+            self.spec, self.params, calib_x, self.compiled.trees,
+            quantize_head=quantize_head, region_dtype=region_dtype)
         if hasattr(self, "_predict"):   # re-trace over the new forward
             self._predict = jax.jit(partial(self._predict_impl,
                                             train=False))
@@ -130,7 +134,10 @@ class Detector:
             obj = fields[..., r.coords]
         else:
             nf = r.coords + r.classes + 1
-            acts = out.reshape(x.shape[0], r.h, r.w, r.n, nf)
+            # host contract is f32 regardless of the decode dtype
+            # (region_dtype=bf16 serving); no-op when already f32
+            acts = out.astype(jnp.float32).reshape(
+                x.shape[0], r.h, r.w, r.n, nf)
             boxes = B.decode_region_boxes(
                 acts, np.asarray(r.anchors).reshape(r.n, 2),
                 img_w=1.0, img_h=1.0)

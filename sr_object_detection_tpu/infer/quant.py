@@ -181,7 +181,9 @@ def _supported_prefix(layers) -> int:
 def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
                            *, head_dtype=jnp.bfloat16,
                            tree_search_dirs=(),
-                           presplit: bool = False) -> QuantizedNetwork:
+                           presplit: bool = False,
+                           quantize_head: bool = False,
+                           region_dtype=None) -> QuantizedNetwork:
     """Fold BN, calibrate activation scales on ``calib_x`` (f32 NHWC
     sample batch), quantize weights per-channel, and build the int8
     forward.
@@ -199,7 +201,22 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
     ``presplit=True`` lane-aligns the region head and emits the
     pre-split (fields, cls) contract (ops.boxes.region_activate_split)
     instead of the darknet-flat output — the int8-trunk and
-    decode-boundary optimizations stack (yolo9000 serving)."""
+    decode-boundary optimizations stack (yolo9000 serving).
+
+    ``quantize_head=True`` runs the head conv itself in int8 (int8 x
+    int8 -> int32 on the MXU, f32 dequant epilogue — no requant step on
+    the logits, so the only extra error is the input/weight
+    quantization). Off by default: the head logits feed logistic/softmax
+    decode. For yolo9000 the 1024->28269 1x1 head conv is ~2/3 of all
+    FLOPs, so this is the dominant serving lever there; gated by the
+    WordTree mAP A/B (tests/test_map_parity.py).
+
+    ``region_dtype`` sets the dtype the [region] decode (logistic +
+    softmax / tree softmax) runs in. Default None = f32 (exactness
+    paths). bf16 halves the class-tensor HBM traffic — the measured
+    wall for the 28269-ch yolo9000 head, where every decode pass moves
+    ~0.6 GB/batch at f32 — and matches what the bf16 ThroughputEngine
+    already does; mAP-gated like the other serving levers."""
     calib_x = _resolve_calib(calib_x)
     params_f, fspec = fold_params_for_inference(spec, params,
                                                 dtype=jnp.float32)
@@ -288,7 +305,19 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
         if isinstance(l, S.ConvSpec):
             w = np.asarray(params_f[i]["weights"], np.float32)  # HWIO
             b = np.asarray(params_f[i]["biases"], np.float32)
-            if i in heads:
+            if i in heads and quantize_head:
+                # int8 head: per-channel int8 weights, f32 dequant
+                # epilogue, f32-domain output (no requant on logits)
+                w_s = np.maximum(np.abs(w).reshape(-1, w.shape[3]).max(0),
+                                 1e-8) / I8MAX
+                w_q = np.clip(np.round(w / w_s), I8MIN, I8MAX).astype(
+                    np.int8)
+                s_x = in_scale_of(i)
+                p = {"weights": jnp.asarray(w_q),
+                     "dequant": jnp.asarray(s_x * w_s, jnp.float32),
+                     "biases": jnp.asarray(b, jnp.float32)}
+                s_out[i] = -1.0        # f32-domain output
+            elif i in heads:
                 p = {"weights": jnp.asarray(w, head_dtype),
                      "biases": jnp.asarray(b, jnp.float32)}
                 s_out[i] = -1.0        # f32-domain output
@@ -317,6 +346,8 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
     act_scales = dict(s_out)
 
     # ---- forward builder -------------------------------------------
+    rdt = region_dtype if region_dtype is not None else jnp.float32
+
     def forward(qp, x):
         saved: dict[int, Any] = {}
         if x.dtype == jnp.uint8:
@@ -330,7 +361,15 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
                            np.float32(1.0 / in_scale))
         for i, l in enumerate(layers):
             if isinstance(l, S.ConvSpec):
-                if i in heads:
+                if i in heads and "dequant" in qp[i]:
+                    # quantized head: int8 MXU matmul straight off the
+                    # int8 trunk output, f32 logits out
+                    y = _conv_i8(cur, qp[i]["weights"],
+                                 stride=l.stride, pad=l.pad)
+                    y = y.astype(jnp.float32) * qp[i]["dequant"]
+                    y = y + qp[i]["biases"]
+                    cur = A.get_activation(l.activation)(y)
+                elif i in heads:
                     s_x = in_scale_of(i)
                     xf = (cur.astype(head_dtype)
                           * jnp.asarray(s_x, head_dtype))
@@ -368,15 +407,18 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
             elif isinstance(l, S.RegionSpec):
                 nf = l.coords + l.classes + 1
                 tree = trees.get(i)
+                # the astype fuses into the producing conv epilogue, so
+                # rdt=bf16 means the head logits are WRITTEN bf16 (half
+                # the class-tensor traffic), not converted after the fact
                 if l.presplit and l.head_block:
                     cur = B.region_activate_split(
-                        cur.astype(jnp.float32), l.n, l.coords,
+                        cur.astype(rdt), l.n, l.coords,
                         l.classes, l.head_block, softmax=l.softmax,
                         tree_groups=tree.group if tree is not None
                         else None)
                 else:
                     acts = B.region_activate(
-                        cur.astype(jnp.float32), l.n, nf,
+                        cur.astype(rdt), l.n, nf,
                         softmax=l.softmax,
                         tree_groups=tree.group if tree is not None
                         else None)
@@ -405,10 +447,13 @@ class QuantizedForwardShim:
     quantized constants are baked in)."""
 
     def __init__(self, spec: S.NetworkSpec, params, calib_x, trees,
-                 *, tree_search_dirs=()):
+                 *, tree_search_dirs=(), quantize_head: bool = False,
+                 region_dtype=None):
         qnet = quantize_for_inference(spec, params,
                                       _resolve_calib(calib_x),
-                                      tree_search_dirs=tree_search_dirs)
+                                      tree_search_dirs=tree_search_dirs,
+                                      quantize_head=quantize_head,
+                                      region_dtype=region_dtype)
         self.qnet = qnet
         self.trees = trees
 
@@ -423,7 +468,8 @@ class QuantizedThroughputEngine:
 
     def __init__(self, spec: S.NetworkSpec, params, *, batch: int = 128,
                  calib_x=None, tree_search_dirs=(),
-                 presplit: bool = False):
+                 presplit: bool = False, quantize_head: bool = False,
+                 region_dtype=None):
         self.batch = batch
         calib_x = _resolve_calib(calib_x)   # str -> saved batch
         if calib_x is None:
@@ -441,7 +487,9 @@ class QuantizedThroughputEngine:
                        spec.net.c)).astype(np.float32)
         qnet = quantize_for_inference(spec, params, calib_x,
                                       tree_search_dirs=tree_search_dirs,
-                                      presplit=presplit)
+                                      presplit=presplit,
+                                      quantize_head=quantize_head,
+                                      region_dtype=region_dtype)
         self.qnet = qnet
         self.presplit = isinstance(qnet.spec.layers[-1], S.RegionSpec) \
             and qnet.spec.layers[-1].presplit

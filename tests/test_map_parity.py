@@ -46,7 +46,8 @@ def _parse_det_text(text):
     return dets
 
 
-def _run_map_ab(g, tmp_path, *, int8=False):
+def _run_map_ab(g, tmp_path, *, int8=False, quantize_head=False,
+                region_dtype=None):
     """Shared A/B harness: returns (our_map, oracle_map)."""
     import jax.numpy as jnp
     from tools.synth_dataset import (make_dataset, gt_corner_boxes,
@@ -79,7 +80,8 @@ def _run_map_ab(g, tmp_path, *, int8=False):
     if int8:
         calib = np.stack([det.preprocess(load_image_rgb(p))
                           for p in paths[:8]])
-        det.quantize(calib)
+        det.quantize(calib, quantize_head=quantize_head,
+                     region_dtype=region_dtype)
     thresh, nms = float(g["thresh"]), float(g["nms"])
     region = det.region
     node_names = [str(c) for c in range(region.classes)]
@@ -131,5 +133,37 @@ def test_voc_map_parity_int8_v2(tmp_path):
     our_map, oracle_map = _run_map_ab(g, tmp_path, int8=True)
     assert abs(our_map - oracle_map) <= 0.1, (
         f"int8 v2 mAP gate failed: ours={our_map:.4f} "
+        f"oracle={oracle_map:.4f}")
+    assert oracle_map > 0.2
+
+
+@pytest.mark.parametrize("name", ["map_ab_v2", "map_ab_tree"])
+def test_voc_map_parity_int8_quantized_head(name, tmp_path):
+    """int8 head-conv gate (quantize_head=True — the yolo9000 serving
+    lever: the 1024->28269 head conv is ~2/3 of yolo9000's FLOPs).
+    The head logits take only input/weight quantization error (no
+    output requant), so the same mAP gate must hold on both the
+    route/reorg and the WordTree hierarchy-decode topologies."""
+    g = _load(name)
+    our_map, oracle_map = _run_map_ab(g, tmp_path, int8=True,
+                                      quantize_head=True)
+    assert abs(our_map - oracle_map) <= 0.1, (
+        f"int8 quantized-head {name} mAP gate failed: "
+        f"ours={our_map:.4f} oracle={oracle_map:.4f}")
+    assert oracle_map > 0.2
+
+
+def test_voc_map_parity_full_serving_stack(tmp_path):
+    """Gate the EXACT yolo9000 serving configuration bench.py reports:
+    int8 trunk + int8 head conv + bf16 region decode, on the WordTree
+    hierarchy-decode topology (measured 1699 img/s vs 1332 bf16 on the
+    v5e — the bf16 decode halves the 28k-ch class-tensor write)."""
+    import jax.numpy as jnp
+    g = _load("map_ab_tree")
+    our_map, oracle_map = _run_map_ab(
+        g, tmp_path, int8=True, quantize_head=True,
+        region_dtype=jnp.bfloat16)
+    assert abs(our_map - oracle_map) <= 0.1, (
+        f"full-stack tree mAP gate failed: ours={our_map:.4f} "
         f"oracle={oracle_map:.4f}")
     assert oracle_map > 0.2

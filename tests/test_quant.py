@@ -242,6 +242,50 @@ def test_input_amax_floored_for_u8_range():
     assert np.abs(out_u - out_f).mean() < 1e-3
 
 
+def test_quantized_head_matches_f32():
+    """quantize_head=True runs the head conv in int8 (int8 x int8 ->
+    int32 MXU, f32 dequant epilogue). The logits take only input/weight
+    quantization error — activated fields stay within the same
+    tolerance band as the trunk-only int8 path (the yolo9000 serving
+    lever; mAP-gated in test_map_parity.py)."""
+    spec = tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    rng = np.random.RandomState(8)
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    ref = _f32_region_out(spec, params, x)
+    qnet = quantize_for_inference(spec, params, x, quantize_head=True)
+    got = np.asarray(qnet.forward(qnet.qparams, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    r = spec.layers[-1]
+    nf = r.coords + r.classes + 1
+    err = np.abs(ref.reshape(-1, nf) - got.reshape(-1, nf))
+    assert err[:, [0, 1, 4]].mean() < 0.03      # xy + obj (logistic)
+    assert err[:, 5:].mean() < 0.01             # class softmax
+    # the head conv is genuinely int8 (dequant epilogue present)
+    head = len(qnet.spec.layers) - 2
+    assert "dequant" in qnet.qparams[head]
+
+
+def test_region_dtype_bf16_decode_close():
+    """region_dtype=bf16 runs the [region] decode (logistic + softmax)
+    in bf16 — halves the class-tensor HBM traffic at the yolo9000
+    boundary. Activated outputs stay within bf16 rounding of the f32
+    decode."""
+    spec = tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    rng = np.random.RandomState(9)
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    q_f = quantize_for_inference(spec, params, x)
+    q_b = quantize_for_inference(spec, params, x,
+                                 region_dtype=jnp.bfloat16)
+    out_f = np.asarray(q_f.forward(q_f.qparams, jnp.asarray(x)),
+                       np.float32)
+    out_b = np.asarray(q_b.forward(q_b.qparams, jnp.asarray(x)),
+                       np.float32)
+    # bounded activations: bf16 has ~3 decimal digits
+    assert np.abs(out_f - out_b).mean() < 5e-3
+
+
 def test_quant_rejects_unsupported():
     from sr_object_detection_tpu.models.zoo import cifar_small
     spec = cifar_small(batch=1)
