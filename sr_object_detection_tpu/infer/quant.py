@@ -469,8 +469,12 @@ class QuantizedThroughputEngine:
     def __init__(self, spec: S.NetworkSpec, params, *, batch: int = 128,
                  calib_x=None, tree_search_dirs=(),
                  presplit: bool = False, quantize_head: bool = False,
-                 region_dtype=None):
+                 region_dtype=None, mesh=None):
         self.batch = batch
+        self.mesh = mesh
+        if mesh is not None and batch % mesh.shape["data"]:
+            raise ValueError(f"batch {batch} not divisible by data "
+                             f"axis {mesh.shape['data']}")
         calib_x = _resolve_calib(calib_x)   # str -> saved batch
         if calib_x is None:
             # benchmark convenience only: noise calibration bears no
@@ -496,36 +500,72 @@ class QuantizedThroughputEngine:
         fwd = qnet.forward
         qp = qnet.qparams
 
-        @jax.jit
-        def run(x):
-            return fwd(qp, x)
+        if mesh is None:
+            @jax.jit
+            def run(x):
+                return fwd(qp, x)
 
-        @jax.jit
-        def run_sum(x):
-            out = fwd(qp, x)
-            if isinstance(out, tuple):
-                return sum(jnp.sum(o.astype(jnp.float32)) for o in out)
-            return jnp.sum(out.astype(jnp.float32))
+            @jax.jit
+            def run_sum(x):
+                out = fwd(qp, x)
+                if isinstance(out, tuple):
+                    return sum(jnp.sum(o.astype(jnp.float32))
+                               for o in out)
+                return jnp.sum(out.astype(jnp.float32))
+        else:
+            # multi-chip DP serving for the int8 path: batch sharded
+            # over the mesh 'data' axis, int8 weights + scales
+            # replicated (closed-over constants), zero collectives in
+            # the forward — the quantized twin of
+            # engine.ShardedThroughputEngine (which see for the design
+            # note; the reference has no multi-GPU inference at all)
+            from functools import partial
+            from ..parallel.mesh import batch_sharding
+            bs = batch_sharding(mesh)
+            out_sh = (bs, bs) if self.presplit else bs
+
+            @partial(jax.jit, in_shardings=(bs,), out_shardings=out_sh)
+            def run(x):
+                return fwd(qp, x)
+
+            @partial(jax.jit, in_shardings=(bs,))
+            def run_sum(x):
+                out = fwd(qp, x)
+                if isinstance(out, tuple):
+                    return sum(jnp.sum(o.astype(jnp.float32))
+                               for o in out)
+                return jnp.sum(out.astype(jnp.float32))
 
         self._run = run
         self._run_sum = run_sum
         self.input_shape = (batch, spec.net.h, spec.net.w, spec.net.c)
 
+    def _ctx(self):
+        import contextlib
+        return self.mesh if self.mesh is not None \
+            else contextlib.nullcontext()
+
     def warmup(self):
-        float(self._run_sum(jnp.zeros(self.input_shape, jnp.float32)))
+        with self._ctx():
+            float(self._run_sum(jnp.zeros(self.input_shape,
+                                          jnp.float32)))
 
     def __call__(self, x):
-        return self._run(x)
+        with self._ctx():
+            return self._run(x)
 
     def benchmark(self, iters: int = 50, warmup: int = 5,
-                  input_dtype=jnp.float32) -> dict:
+                  input_dtype=jnp.float32, chunk: int = 1) -> dict:
         """``input_dtype=jnp.uint8`` measures the raw-camera-frame feed
         (the /255 is folded into the input quant — 1 byte/px device
-        reads instead of 4; the serving path for u8 traffic)."""
+        reads instead of 4; the serving path for u8 traffic).
+        ``chunk`` chains that many distinct batches per dispatch (see
+        engine.checksum_benchmark)."""
         from .engine import checksum_benchmark
         return checksum_benchmark(self._run_sum, self.input_shape,
                                   self.batch, iters=iters, warmup=warmup,
-                                  dtype=input_dtype)
+                                  dtype=input_dtype, chunk=chunk,
+                                  mesh=self.mesh)
 
 
 __all__ = ["quantize_for_inference", "QuantizedNetwork",

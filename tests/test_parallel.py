@@ -246,3 +246,41 @@ def test_sharded_presplit_matches_single_device():
                                rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(cs), np.asarray(c1),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_int8_matches_single_device():
+    """Quantized engine with a mesh: DP batch sharding of the int8
+    forward (weights/scales replicated, zero collectives) equals the
+    single-device quantized engine. Run both plain and with the full
+    yolo9000-style serving stack (presplit + int8 head + bf16 decode)."""
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.infer.quant import (
+        QuantizedThroughputEngine)
+    from sr_object_detection_tpu.io.weights import init_params
+    from sr_object_detection_tpu.models.zoo import tiny_yolo_voc
+    from sr_object_detection_tpu.parallel.mesh import make_mesh
+
+    spec = tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    rng = np.random.RandomState(0)
+    calib = rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    x = rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32)
+    mesh = make_mesh(4, model_parallel=1)
+
+    for kw in (dict(),
+               dict(presplit=True, quantize_head=True,
+                    region_dtype=jnp.bfloat16)):
+        single = QuantizedThroughputEngine(spec, params, batch=8,
+                                           calib_x=calib, **kw)
+        sharded = QuantizedThroughputEngine(spec, params, batch=8,
+                                            calib_x=calib, mesh=mesh,
+                                            **kw)
+        o1, o2 = single(jnp.asarray(x)), sharded(jnp.asarray(x))
+        if not isinstance(o1, tuple):
+            o1, o2 = (o1,), (o2,)
+        for a, b in zip(o1, o2):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-5, atol=1e-5, err_msg=f"kw={kw}")
+        r = sharded.benchmark(iters=2, warmup=1)
+        assert r["images_per_sec"] > 0
