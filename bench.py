@@ -119,22 +119,26 @@ def main():
         from sr_object_detection_tpu.io.weights import init_params as ip2
         spec2 = yolov2(width=608, height=608)
         params2 = ip2(spec2, seed=0)
-        eng2 = ThroughputEngine(spec2, params2, batch=32,
+        # batch 128, not 32: with the batch dim exactly filling the 128
+        # lanes, XLA lays the C=32 stem out batch-minor instead of
+        # lane-padding the channel axis 4x — measured 1099 -> 1966
+        # bf16, 1622 -> 2915 int8 on the v5e (b=256 gains nothing)
+        eng2 = ThroughputEngine(spec2, params2, batch=128,
                                 dtype=jnp.bfloat16)
         eng2.warmup()
-        r2 = eng2.benchmark(iters=15)
+        r2 = eng2.benchmark(iters=8)
         f2 = analytic_flops(spec2)
         print(f"yolov2-coco-608: bf16 {r2['images_per_sec']:.0f} img/s "
-              f"(batch 32), {r2['images_per_sec']*f2/1e12:.1f} TFLOP/s",
+              f"(batch 128), {r2['images_per_sec']*f2/1e12:.1f} TFLOP/s",
               file=sys.stderr)
         from sr_object_detection_tpu.infer.quant import (
             QuantizedThroughputEngine)
         calib2 = np.random.RandomState(0).uniform(
             0, 1, (8, spec2.net.h, spec2.net.w, 3)).astype(np.float32)
-        q2 = QuantizedThroughputEngine(spec2, params2, batch=32,
+        q2 = QuantizedThroughputEngine(spec2, params2, batch=128,
                                        calib_x=calib2)
         q2.warmup()
-        qr2 = q2.benchmark(iters=15)
+        qr2 = q2.benchmark(iters=8)
         print(f"yolov2-coco-608: int8 {qr2['images_per_sec']:.0f} img/s "
               f"({qr2['images_per_sec']/r2['images_per_sec']:.2f}x bf16)",
               file=sys.stderr)
@@ -148,14 +152,15 @@ def main():
                          map_file=None)
         p9 = fast_init_params(spec9, seed=0)
         # presplit decode contract (round 3): (fields, cls) output, no
-        # darknet-flat reassembly — measured 1254 -> 1376 img/s
-        eng9 = ThroughputEngine(spec9, p9, batch=32,
+        # darknet-flat reassembly; batch 128 for the batch-minor stem
+        # layout (see the yolov2 note) — 1342 -> 1871 img/s
+        eng9 = ThroughputEngine(spec9, p9, batch=128,
                                 dtype=jnp.bfloat16, presplit=True)
         eng9.warmup()
-        r9 = eng9.benchmark(iters=10)
+        r9 = eng9.benchmark(iters=6)
         f9 = analytic_flops(spec9)
         print(f"yolo9000-416 (28269-ch head + 9k tree, presplit): "
-              f"{r9['images_per_sec']:.0f} img/s (batch 32), "
+              f"{r9['images_per_sec']:.0f} img/s (batch 128), "
               f"{r9['images_per_sec']*f9/1e12:.1f} TFLOP/s",
               file=sys.stderr)
         from sr_object_detection_tpu.infer.quant import (
@@ -164,14 +169,15 @@ def main():
             0, 1, (8, spec9.net.h, spec9.net.w, 3)).astype(np.float32)
         # full serving stack (round 3): int8 trunk + int8 head conv +
         # bf16 region decode + presplit contract. The 1024->28269 head
-        # is write-bandwidth-bound (611 MB f32 logits/batch at 13x13);
-        # bf16 decode halves that. Measured 1332 -> 1699 img/s on v5e;
-        # mAP-gated end-to-end by tests/test_map_parity.py::
+        # is write-bandwidth-bound (611 MB f32 logits/batch-32 at
+        # 13x13); bf16 decode halves that. Measured (batch 128):
+        # 1871 bf16-presplit -> 2222 full stack; mAP-gated end-to-end
+        # by tests/test_map_parity.py::
         # test_voc_map_parity_full_serving_stack.
-        q9 = _QTE(spec9, p9, batch=32, calib_x=calib9, presplit=True,
+        q9 = _QTE(spec9, p9, batch=128, calib_x=calib9, presplit=True,
                   quantize_head=True, region_dtype=jnp.bfloat16)
         q9.warmup()
-        qr9 = q9.benchmark(iters=10)
+        qr9 = q9.benchmark(iters=6)
         print(f"yolo9000-416 int8 full stack (qhead+bf16-decode+"
               f"presplit): {qr9['images_per_sec']:.0f} img/s "
               f"({qr9['images_per_sec']/r9['images_per_sec']:.2f}x "
@@ -225,10 +231,14 @@ def main():
 
     try:
         from sr_object_detection_tpu.models.zoo import yolov2
+        # B=128 + remat: the remat recompute is cheaper than the 4x
+        # lane-padding the C=32 stem pays at sub-128 batch (measured
+        # 293/327/360 img/s at B=48/64/128-remat = 28/31/35% MFU);
         # B=48 fits without remat since the bf16 BN core dropped the
         # f32 x/x_hat residuals (round-2 profile work)
         train_bench(lambda: yolov2(width=608, height=608),
-                    "yolov2-608", 48, iters=3, fast_init=True)
+                    "yolov2-608", 128, iters=3, remat=True,
+                    fast_init=True)
     except Exception as e:
         print(f"yolov2-608 training bench skipped: {e}", file=sys.stderr)
 
