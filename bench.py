@@ -151,15 +151,18 @@ def main():
         spec9 = yolo9000(tree_file="/root/reference/cfg/9k.tree",
                          map_file=None)
         p9 = fast_init_params(spec9, seed=0)
-        # presplit decode contract (round 3): (fields, cls) output, no
-        # darknet-flat reassembly; batch 128 for the batch-minor stem
-        # layout (see the yolov2 note) — 1342 -> 1871 img/s
+        # FLAT presplit decode (round 3): (fields, cls_flat) output —
+        # no darknet-flat reassembly AND no 5-D class view (the A=3
+        # sublane dim forced 7.5 ms of T(8,128)<->T(4,128) retile
+        # copies per B=128 batch); batch 128 for the batch-minor stem
+        # layout (see the yolov2 note). 1342 -> 1871 (5-D presplit)
+        # -> 2250 (flat) img/s bf16.
         eng9 = ThroughputEngine(spec9, p9, batch=128,
-                                dtype=jnp.bfloat16, presplit=True)
+                                dtype=jnp.bfloat16, presplit="flat")
         eng9.warmup()
         r9 = eng9.benchmark(iters=6)
         f9 = analytic_flops(spec9)
-        print(f"yolo9000-416 (28269-ch head + 9k tree, presplit): "
+        print(f"yolo9000-416 (28269-ch head + 9k tree, flat presplit): "
               f"{r9['images_per_sec']:.0f} img/s (batch 128), "
               f"{r9['images_per_sec']*f9/1e12:.1f} TFLOP/s",
               file=sys.stderr)
@@ -168,20 +171,20 @@ def main():
         calib9 = np.random.RandomState(0).uniform(
             0, 1, (8, spec9.net.h, spec9.net.w, 3)).astype(np.float32)
         # full serving stack (round 3): int8 trunk + int8 head conv +
-        # bf16 region decode + presplit contract. The 1024->28269 head
-        # is write-bandwidth-bound (611 MB f32 logits/batch-32 at
-        # 13x13); bf16 decode halves that. Measured (batch 128):
-        # 1871 bf16-presplit -> 2222 full stack; mAP-gated end-to-end
-        # by tests/test_map_parity.py::
-        # test_voc_map_parity_full_serving_stack.
-        q9 = _QTE(spec9, p9, batch=128, calib_x=calib9, presplit=True,
-                  quantize_head=True, region_dtype=jnp.bfloat16)
+        # bf16 region decode + FLAT presplit contract. Measured (batch
+        # 128): 2183 (5-D) -> 2696 img/s (flat). Decode-exactness
+        # pinned vs the 5-D path (tests/test_presplit.py) which is
+        # mAP-gated end-to-end (tests/test_map_parity.py::
+        # test_voc_map_parity_full_serving_stack).
+        q9 = _QTE(spec9, p9, batch=128, calib_x=calib9,
+                  presplit="flat", quantize_head=True,
+                  region_dtype=jnp.bfloat16)
         q9.warmup()
         qr9 = q9.benchmark(iters=6)
         print(f"yolo9000-416 int8 full stack (qhead+bf16-decode+"
-              f"presplit): {qr9['images_per_sec']:.0f} img/s "
+              f"flat presplit): {qr9['images_per_sec']:.0f} img/s "
               f"({qr9['images_per_sec']/r9['images_per_sec']:.2f}x "
-              f"presplit-bf16)", file=sys.stderr)
+              f"flat-bf16)", file=sys.stderr)
     except Exception as e:
         print(f"yolo9000 bench skipped: {e}", file=sys.stderr)
 

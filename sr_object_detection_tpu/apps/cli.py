@@ -136,7 +136,8 @@ def cmd_speed(argv):
     """darknet.c:98-113: time `tics` forwards, print sec/eval and Hz.
     `-batch N` widens the eval; `-int8` uses the quantized engine."""
     use_int8 = find_arg(argv, "-int8")
-    use_presplit = find_arg(argv, "-presplit")
+    use_presplit = "flat" if find_arg(argv, "-presplit-flat") \
+        else find_arg(argv, "-presplit")
     use_qhead = find_arg(argv, "-qhead")
     batch = find_value(argv, "-batch", 1, int)
     cfg = argv[0]

@@ -244,8 +244,13 @@ def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None):
                 tree = trees.get(i)
                 if l.presplit and l.head_block:
                     # pre-split contract: (fields, cls) tuple — no
-                    # darknet-flat reassembly (see region_activate_split)
-                    cur = B.region_activate_split(
+                    # darknet-flat reassembly (see region_activate_split;
+                    # the _flat variant additionally never forms the 5-D
+                    # class view — no T(8,128)->T(4,128) retiles)
+                    split = (B.region_activate_split_flat
+                             if l.presplit_flat
+                             else B.region_activate_split)
+                    cur = split(
                         cur, l.n, l.coords, l.classes, l.head_block,
                         softmax=l.softmax,
                         tree_groups=tree.group if tree is not None

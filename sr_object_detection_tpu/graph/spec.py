@@ -334,6 +334,14 @@ class RegionSpec(LayerSpec):
     # full passes over the class tensor at the engine boundary (the
     # yolo9000 decode wall). Requires head_block != 0.
     presplit: bool = False
+    # engine-internal: with presplit, keep the class tensor FLAT as
+    # (B, H, W, A*head_block) instead of the (B, H, W, A, classes) 5-D
+    # view — the A=3 sublane dim of the 5-D layout forces
+    # T(8,128)->T(4,128) retile copies (profiled 7.5 ms of a 52 ms
+    # yolo9000-416 B=128 batch). Class probs sit at
+    # [a*block+128 : a*block+128+classes] per anchor; the other lanes
+    # are junk (see ops.boxes.region_activate_split_flat).
+    presplit_flat: bool = False
 
 
 @dataclass(frozen=True)

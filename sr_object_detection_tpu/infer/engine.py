@@ -277,6 +277,10 @@ class ThroughputEngine:
         if presplit:
             # pre-split output contract: (fields (B,H,W,A,coords+1),
             # cls (B,H,W,A,classes)) — no darknet-flat reassembly.
+            # presplit="flat" keeps cls as (B,H,W,A*block) in the head
+            # conv's own layout (no 5-D retile copies; consumer slices
+            # classes at [a*block+128 : +classes] per anchor — see
+            # ops.boxes.region_activate_split_flat).
             # Requires the aligned head; non-region specs keep flat.
             last = self.spec.layers[-1]
             if isinstance(last, S.RegionSpec) and last.head_block:
@@ -284,7 +288,9 @@ class ThroughputEngine:
                 self.spec = S.NetworkSpec(
                     net=self.spec.net,
                     layers=(*self.spec.layers[:-1],
-                            dataclasses.replace(last, presplit=True)),
+                            dataclasses.replace(
+                                last, presplit=True,
+                                presplit_flat=(presplit == "flat"))),
                     cfg_path=self.spec.cfg_path)
                 self.presplit = True
         compiled = CompiledNetwork(self.spec, compute_dtype=dtype)
@@ -304,8 +310,8 @@ class ThroughputEngine:
         def run_sum(params, x):
             out, _ = fwd(params, x.astype(dtype))
             if isinstance(out, tuple):
-                return sum(jnp.sum(o.astype(jnp.float32)) for o in out)
-            return jnp.sum(out.astype(jnp.float32))
+                return sum(jnp.sum(o, dtype=jnp.float32) for o in out)
+            return jnp.sum(out, dtype=jnp.float32)
 
         self._run = run
         self._run_sum = run_sum
@@ -361,7 +367,9 @@ class ShardedThroughputEngine:
                 self.spec = S.NetworkSpec(
                     net=self.spec.net,
                     layers=(*self.spec.layers[:-1],
-                            dataclasses.replace(last, presplit=True)),
+                            dataclasses.replace(
+                                last, presplit=True,
+                                presplit_flat=(presplit == "flat"))),
                     cfg_path=self.spec.cfg_path)
                 self.presplit = True
         self.params = shard_params(mesh, self.params, self.spec,
@@ -382,8 +390,8 @@ class ShardedThroughputEngine:
         def run_sum(params, x):
             out, _ = fwd(params, x.astype(dtype))
             if isinstance(out, tuple):
-                return sum(jnp.sum(o.astype(jnp.float32)) for o in out)
-            return jnp.sum(out.astype(jnp.float32))
+                return sum(jnp.sum(o, dtype=jnp.float32) for o in out)
+            return jnp.sum(out, dtype=jnp.float32)
 
         self._run = run
         self._run_sum = run_sum

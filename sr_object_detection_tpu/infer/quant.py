@@ -230,7 +230,9 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
             fspec = S.NetworkSpec(
                 net=fspec.net,
                 layers=(*fspec.layers[:-1],
-                        dataclasses.replace(last, presplit=True)),
+                        dataclasses.replace(
+                            last, presplit=True,
+                            presplit_flat=(presplit == "flat"))),
                 cfg_path=fspec.cfg_path)
     split = _supported_prefix(fspec.layers)
     if split < 2:
@@ -411,7 +413,10 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
                 # rdt=bf16 means the head logits are WRITTEN bf16 (half
                 # the class-tensor traffic), not converted after the fact
                 if l.presplit and l.head_block:
-                    cur = B.region_activate_split(
+                    split_fn = (B.region_activate_split_flat
+                                if l.presplit_flat
+                                else B.region_activate_split)
+                    cur = split_fn(
                         cur.astype(rdt), l.n, l.coords,
                         l.classes, l.head_block, softmax=l.softmax,
                         tree_groups=tree.group if tree is not None
@@ -509,9 +514,9 @@ class QuantizedThroughputEngine:
             def run_sum(x):
                 out = fwd(qp, x)
                 if isinstance(out, tuple):
-                    return sum(jnp.sum(o.astype(jnp.float32))
+                    return sum(jnp.sum(o, dtype=jnp.float32)
                                for o in out)
-                return jnp.sum(out.astype(jnp.float32))
+                return jnp.sum(out, dtype=jnp.float32)
         else:
             # multi-chip DP serving for the int8 path: batch sharded
             # over the mesh 'data' axis, int8 weights + scales
@@ -532,9 +537,9 @@ class QuantizedThroughputEngine:
             def run_sum(x):
                 out = fwd(qp, x)
                 if isinstance(out, tuple):
-                    return sum(jnp.sum(o.astype(jnp.float32))
+                    return sum(jnp.sum(o, dtype=jnp.float32)
                                for o in out)
-                return jnp.sum(out.astype(jnp.float32))
+                return jnp.sum(out, dtype=jnp.float32)
 
         self._run = run
         self._run_sum = run_sum

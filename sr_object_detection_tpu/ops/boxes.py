@@ -116,6 +116,83 @@ def region_activate_split(raw, n_anchors: int, coords: int,
     return fields, cls
 
 
+_FLAT_GID_CACHE: dict = {}
+
+
+def _flat_head_gids(n_anchors: int, coords: int, classes: int,
+                    block: int, base_gids):
+    """Extended group ids + additive mask for the FLAT aligned head
+    row (A*block lanes): each anchor contributes [fields+pad | classes
+    | tail-pad]; junk lanes get their own softmax groups (masked to a
+    large negative, they exp to ~0 and normalize among themselves) so
+    the class groups stay contiguous-monotone-gapless and the banded
+    matmul lowering applies unchanged."""
+    key = (n_anchors, coords, classes, block,
+           None if base_gids is None else np.asarray(base_gids).tobytes())
+    if key in _FLAT_GID_CACHE:
+        return _FLAT_GID_CACHE[key]
+    g0 = (np.zeros(classes, np.int64) if base_gids is None
+          else np.asarray(base_gids, np.int64))
+    ng = int(g0.max()) + 1
+    total = n_anchors * block
+    ext = np.zeros(total, np.int64)
+    mask = np.full(total, -1e9, np.float32)
+    nxt = 0
+    tail = block - 128 - classes
+    for a in range(n_anchors):
+        o = a * block
+        ext[o:o + 128] = nxt
+        nxt += 1
+        ext[o + 128:o + 128 + classes] = nxt + g0
+        mask[o + 128:o + 128 + classes] = 0.0
+        nxt += ng
+        if tail > 0:
+            ext[o + 128 + classes:o + block] = nxt
+            nxt += 1
+    _FLAT_GID_CACHE[key] = (ext, mask)
+    return ext, mask
+
+
+def region_activate_split_flat(raw, n_anchors: int, coords: int,
+                               classes: int, block: int, *,
+                               softmax: bool = False, tree_groups=None):
+    """Pre-split region activation that NEVER forms the 5-D
+    (B,H,W,A,block) view: the class tensor stays (B,H,W,A*block) in
+    the head conv's own layout.
+
+    Why: with A=3 anchors the 5-D view puts A in the sublane dim, and
+    XLA retiles T(8,128)->T(4,128) around it — profiled as two pure
+    relayout copies totalling 7.5 ms of a 52 ms yolo9000-416 B=128
+    batch (14%). Keeping the row flat keeps one tiling end-to-end.
+
+    Contract:
+      fields:   (B, H, W, A, coords+1) raw box slots + LOGISTIC obj
+                (tiny tensor — built from per-anchor lane slices)
+      cls_flat: (B, H, W, A*block); softmaxed class probs at
+                [a*block+128 : a*block+128+classes] for each anchor a;
+                every other lane is junk (masked logits that softmax
+                among themselves) and MUST be sliced away by the
+                consumer.
+
+    Exactness: softmax within a group is invariant to the shared
+    per-row offset, so using the row max over the WHOLE flat row
+    instead of the per-anchor max changes nothing mathematically
+    (same identity as _grouped_softmax_matmul); pinned against
+    region_activate_split in tests/test_presplit.py."""
+    f = coords + 1
+    slots = [raw[..., a * block:a * block + f]
+             for a in range(n_anchors)]
+    fields = jnp.stack(slots, axis=3)
+    obj = jax.nn.sigmoid(fields[..., coords:coords + 1])
+    fields = jnp.concatenate([fields[..., :coords], obj], axis=-1)
+    if tree_groups is None and not softmax:
+        return fields, raw
+    base = tree_groups if tree_groups is not None else None
+    ext, mask = _flat_head_gids(n_anchors, coords, classes, block, base)
+    x_m = raw + jnp.asarray(mask, raw.dtype)
+    return fields, grouped_softmax(x_m, ext)
+
+
 def grouped_softmax(logits, group_ids):
     """Segmented softmax over the last axis (softmax_tree semantics).
 

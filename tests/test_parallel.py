@@ -269,7 +269,8 @@ def test_sharded_int8_matches_single_device():
 
     for kw in (dict(),
                dict(presplit=True, quantize_head=True,
-                    region_dtype=jnp.bfloat16)):
+                    region_dtype=jnp.bfloat16),
+               dict(presplit="flat", quantize_head=True)):
         single = QuantizedThroughputEngine(spec, params, batch=8,
                                            calib_x=calib, **kw)
         sharded = QuantizedThroughputEngine(spec, params, batch=8,

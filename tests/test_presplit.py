@@ -125,3 +125,80 @@ def test_presplit_int8_matches_flat_int8():
     got = _reassemble(fields, cls)
     want = flat.reshape(got.shape[0], region.h, region.w, region.n, nf)
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def _slice_flat_cls(cls_flat, region):
+    """Consumer-side contract: class probs live at
+    [a*block+128 : a*block+128+classes] per anchor."""
+    blk = region.head_block
+    cf = np.asarray(cls_flat, np.float32)
+    return np.stack([cf[..., a * blk + 128:a * blk + 128 + region.classes]
+                     for a in range(region.n)], axis=3)
+
+
+def _flat_vs_presplit_flat(spec, params, x, atol):
+    """presplit='flat' (no 5-D class view) vs presplit=True: fields
+    equal; class probs equal after the consumer slice. Not bitwise —
+    the flat path uses the row max over the whole A*block row as the
+    shared softmax offset (mathematically identity-equal, different
+    rounding)."""
+    pre = ThroughputEngine(spec, params, batch=x.shape[0],
+                           dtype=jnp.float32, presplit=True)
+    fla = ThroughputEngine(spec, params, batch=x.shape[0],
+                           dtype=jnp.float32, presplit="flat")
+    assert fla.presplit and fla.spec.layers[-1].presplit_flat
+    f0, c0 = jax.tree.map(np.asarray, pre._run(pre.params,
+                                               jnp.asarray(x)))
+    f1, cf = fla._run(fla.params, jnp.asarray(x))
+    region = fla.spec.layers[-1]
+    assert np.asarray(cf).shape[-1] == region.n * region.head_block
+    c1 = _slice_flat_cls(cf, region)
+    np.testing.assert_allclose(np.asarray(f1), f0, atol=atol)
+    np.testing.assert_allclose(c1, c0, atol=atol)
+
+
+def test_presplit_flat_matches_presplit_tiny_yolo():
+    spec = tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    x = np.random.RandomState(6).uniform(
+        0, 1, (2, 64, 64, 3)).astype(np.float32)
+    _flat_vs_presplit_flat(spec, params, x, atol=1e-5)
+
+
+def test_presplit_flat_matches_presplit_tree():
+    """yolo9000 structure: the extended-gid flat grouped softmax (junk
+    lanes masked into their own groups) must reproduce the 5-D tree
+    softmax after the consumer slice."""
+    from sr_object_detection_tpu.models.zoo import yolo9000
+    from sr_object_detection_tpu.io.weights import fast_init_params
+    spec = yolo9000(width=64, height=64,
+                    tree_file="/root/reference/cfg/9k.tree",
+                    map_file=None)
+    params = fast_init_params(spec, seed=0)
+    x = np.random.RandomState(7).uniform(
+        0, 1, (1, 64, 64, 3)).astype(np.float32)
+    _flat_vs_presplit_flat(spec, params, x, atol=2e-5)
+
+
+def test_presplit_flat_int8_full_stack():
+    """The quantized engine serves the flat contract too (int8 trunk +
+    qhead + flat decode): class probs match the 5-D presplit int8
+    path after the consumer slice."""
+    from sr_object_detection_tpu.infer.quant import (
+        quantize_for_inference)
+    spec = tiny_yolo_voc(width=64, height=64)
+    params = init_params(spec, seed=0)
+    rng = np.random.RandomState(8)
+    calib = rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    q_pre = quantize_for_inference(spec, params, calib, presplit=True,
+                                   quantize_head=True)
+    q_fla = quantize_for_inference(spec, params, calib, presplit="flat",
+                                   quantize_head=True)
+    f0, c0 = jax.tree.map(np.asarray,
+                          q_pre.forward(q_pre.qparams, jnp.asarray(x)))
+    f1, cf = q_fla.forward(q_fla.qparams, jnp.asarray(x))
+    region = q_fla.spec.layers[-1]
+    c1 = _slice_flat_cls(cf, region)
+    np.testing.assert_allclose(np.asarray(f1), f0, atol=2e-5)
+    np.testing.assert_allclose(c1, c0, atol=2e-5)
