@@ -112,6 +112,7 @@ def validate_detector(data_cfg: str, cfg: str, weights: str,
     thresh = find_value(argv, "-thresh", 0.005, float)
     nms = find_value(argv, "-nms", 0.45, float)
     use_int8 = find_arg(argv, "-int8")
+    use_qhead = find_arg(argv, "-qhead")   # int8 head conv too
 
     with open(valid_list) as f:
         all_paths = [l.strip() for l in f if l.strip()]
@@ -125,7 +126,8 @@ def validate_detector(data_cfg: str, cfg: str, weights: str,
         calib = np.stack([
             resize_image_np(load_image_rgb(p), net.w, net.h)
             for p in all_paths[:8]])
-    det = Detector(cfg, weights, names=names, int8_calib=calib)
+    det = Detector(cfg, weights, names=names, int8_calib=calib,
+                   quantize_head=use_qhead)
     classes = det.region.classes
     if names is None:
         names = [str(i) for i in range(classes)]
