@@ -210,6 +210,33 @@ def _bn_core_fast_bwd(res, g):
 _bn_core_fast.defvjp(_bn_core_fast_fwd, _bn_core_fast_bwd)
 
 
+@jax.custom_vjp
+def bias_add(y, b):
+    """y + b broadcast over the channel (last) axis, with the bias
+    GRADIENT accumulated in f32.
+
+    Autodiff of ``y + b.astype(y.dtype)`` on a bf16 tensor makes the bias
+    gradient an XLA reduce with a bf16 ACCUMULATOR, which saturates: once
+    |acc| exceeds ~256x the element magnitude the ulp outgrows the
+    addends and the sum stalls (measured: summing 16384 cotangents of
+    1.7 returned exactly 2048 — the plateau — instead of ~27000, found
+    by tests/test_fused_stem.py). Darknet accumulates in f32
+    (backward_bias, blas.c) and so must we."""
+    return y + b.astype(y.dtype)
+
+
+def _bias_add_fwd(y, b):
+    return bias_add(y, b), b
+
+
+def _bias_add_bwd(b, g):
+    db = jnp.sum(g, axis=tuple(range(g.ndim - 1)), dtype=jnp.float32)
+    return g, db.astype(b.dtype)
+
+
+bias_add.defvjp(_bias_add_fwd, _bias_add_bwd)
+
+
 def binarize_weights(w_hwio):
     """XNOR-net weight binarization (convolutional_layer.c:37-49):
     per-filter sign(w) * mean(|w|)."""
@@ -258,7 +285,7 @@ def conv_block(x, params, spec, activation_fn, *, train: bool = False,
             y = batchnorm_inference(
                 y, params["scales"], params["rolling_mean"],
                 params["rolling_variance"])
-    y = y + params["biases"].astype(y.dtype)
+    y = bias_add(y, params["biases"])
     y = activation_fn(y)
     if compute_dtype is not None:
         # store activations in the compute dtype: the cast fuses into the
