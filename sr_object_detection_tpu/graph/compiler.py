@@ -109,7 +109,8 @@ def _as_flat(x):
     return L.nhwc_to_flat(x)
 
 
-def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None):
+def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None,
+                  fused_stem: bool = False):
     """Build forward(params, x, *, train=False, rng=None, truth=None).
 
     Returns (output, aux) where output is the network output (flat (B,N)
@@ -117,11 +118,38 @@ def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None):
       'outputs': {i: tensor} for requested layers,
       'bn': {i: rolling-stat updates} (train mode),
       'cost': scalar loss from cost layers (train mode, if any).
+
+    fused_stem (bf16 training only): [conv+BN+leaky, maxpool 2x2/2] pairs
+    run as one XLA conv in CHWN layout + the Pallas fused chain
+    (kernels/fused_stem.py) — the between-convs elementwise/pool/backward
+    passes stop costing a full HBM round trip each. Engaged per pair when
+    the trace-time batch is 128 (the lane-filling batch); the zone enters
+    and exits via explicit transposes whose cost is measured in PARITY.md.
     """
     trees = trees or {}
     layers = spec.layers
     keep = _live_set(spec)
     out_idx = spec.output_layer_index()
+
+    # statically fusable (conv, pool) training-stem pairs
+    fusable: set[int] = set()
+    if fused_stem and compute_dtype == jnp.bfloat16:
+        from ..kernels import fused_stem as FS
+        # Mosaic kernels only run on TPU (interpret mode is the CPU
+        # test path); silently fall back to the unfused chain elsewhere
+        if jax.default_backend() != "tpu" and not FS._INTERPRET:
+            fused_stem = False
+    if fused_stem and compute_dtype == jnp.bfloat16:
+        for i, l in enumerate(layers[:-1]):
+            nxt = layers[i + 1]
+            if (isinstance(l, S.ConvSpec) and l.batch_normalize
+                    and l.activation == "leaky" and not l.xnor
+                    and not l.binary
+                    and isinstance(nxt, S.MaxPoolSpec)
+                    and nxt.size == 2 and nxt.stride == 2 and nxt.pad == 0
+                    and nxt.h % 2 == 0 and nxt.w % 2 == 0
+                    and i not in keep):
+                fusable.add(i)
 
     def forward(params, x, *, train: bool = False, rng=None, truth=None,
                 keep_all: bool = False):
@@ -131,8 +159,44 @@ def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None):
         cur = x
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        chwn = None            # CHWN tensor while inside the fused zone
+        consumed: set[int] = set()
 
         for i, l in enumerate(layers):
+            if i in consumed:
+                continue
+            fuse_here = (
+                i in fusable and train
+                and (chwn.shape[3] if chwn is not None
+                     else cur.shape[0]) == 128)
+            if chwn is not None and not fuse_here:
+                # leave the fused zone: back to NHWC for the next layer
+                cur = jnp.transpose(chwn, (3, 0, 1, 2))
+                chwn = None
+            if fuse_here:
+                from ..kernels.fused_stem import fused_bn_leaky_pool
+                p = params[i]
+                if chwn is None:
+                    xin = _as_nhwc(cur, l).astype(compute_dtype)
+                    chwn = jnp.transpose(xin, (1, 2, 3, 0))
+                y = jax.lax.conv_general_dilated(
+                    chwn, p["weights"].astype(compute_dtype),
+                    (l.stride, l.stride),
+                    ((l.pad, l.pad), (l.pad, l.pad)),
+                    dimension_numbers=("HWCN", "HWIO", "HWCN"))
+                pooled, mean, var = fused_bn_leaky_pool(
+                    y.astype(compute_dtype), p["scales"], p["biases"],
+                    jax.lax.stop_gradient(p["rolling_mean"]))
+                bn_updates[i] = {
+                    "rolling_mean": 0.9 * p["rolling_mean"] + 0.1 * mean,
+                    "rolling_variance":
+                        0.9 * p["rolling_variance"] + 0.1 * var}
+                chwn = pooled
+                consumed.add(i + 1)
+                if (i + 1) in keep or keep_all or (i + 1) == out_idx:
+                    saved[i + 1] = jnp.transpose(pooled, (3, 0, 1, 2))
+                continue
+
             if isinstance(l, S.ConvSpec):
                 cur = _as_nhwc(cur, l)
                 act = A.get_activation(l.activation)

@@ -57,7 +57,8 @@ def _find_head(spec: S.NetworkSpec):
 
 
 def make_train_step(spec: S.NetworkSpec, *, mesh=None,
-                    compute_dtype=None, remat: bool = False):
+                    compute_dtype=None, remat: bool = False,
+                    fused_stem: bool = False):
     """Returns train_step(state, x, truth, rng) -> (state, metrics).
 
     x: (B, H, W, C) float32 where B = net.batch * net.subdivisions
@@ -67,7 +68,14 @@ def make_train_step(spec: S.NetworkSpec, *, mesh=None,
     net = spec.net
     head_kind, head_idx = _find_head(spec)
     trees = resolve_trees(spec)
-    fwd = build_forward(spec, trees=trees, compute_dtype=compute_dtype)
+    # the Pallas fused stem engages only single-device (a pallas_call has
+    # no partitioning rule) and only on the bf16 path; per-pair batch==128
+    # gating happens at trace time inside build_forward. Default OFF: the
+    # measured full-step A/B on v5e is a wash (tiny-yolo-416 B=128:
+    # 45.2 ms unfused vs 45.8 ms fused) — see kernels/fused_stem.py.
+    fwd = build_forward(
+        spec, trees=trees, compute_dtype=compute_dtype,
+        fused_stem=fused_stem and (mesh is None or mesh.size == 1))
     head = spec.layers[head_idx]
     region_loss_ws = None
     if head_kind == "region":
@@ -207,7 +215,7 @@ class Trainer:
 
     def __init__(self, spec: S.NetworkSpec, params=None, *, mesh=None,
                  seed: int = 0, compute_dtype=None, remat: bool = False,
-                 tp_min_filters: int = 2048):
+                 tp_min_filters: int = 2048, fused_stem: bool = False):
         self.spec = spec
         self.mesh = mesh
         if params is None:
@@ -224,10 +232,11 @@ class Trainer:
         )
         self._compute_dtype = compute_dtype
         self._remat = remat
+        self._fused_stem = fused_stem
         self._steps: dict[tuple[int, int], Any] = {}
         self._steps[(spec.net.h, spec.net.w)] = self._jit(
             make_train_step(spec, mesh=mesh, compute_dtype=compute_dtype,
-                            remat=remat))
+                            remat=remat, fused_stem=fused_stem))
         self._rng = jax.random.PRNGKey(seed)
 
     def _jit(self, step):
@@ -246,7 +255,7 @@ class Trainer:
             rspec = self.spec.resize(w, h)
             self._steps[key] = self._jit(make_train_step(
                 rspec, mesh=self.mesh, compute_dtype=self._compute_dtype,
-                remat=self._remat))
+                remat=self._remat, fused_stem=self._fused_stem))
         return self._steps[key]
 
     def step(self, x, truth):
