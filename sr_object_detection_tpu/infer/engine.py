@@ -495,7 +495,16 @@ class LatencyEngine:
         jax.tree.map(np.asarray, out)  # hard sync
 
     def __call__(self, frame_u8):
-        return self._run(self.params, jnp.asarray(frame_u8))
+        frame_u8 = jnp.asarray(frame_u8)
+        if frame_u8.ndim != 3:
+            # the batch dim is added inside the jitted program; a
+            # pre-batched frame would silently become rank 5 deep in the
+            # net (the int8 path's conv would then raise an opaque
+            # ndim-mismatch from inside jit)
+            raise ValueError(
+                f"LatencyEngine expects one unbatched HWC frame "
+                f"{self.frame_shape}, got shape {frame_u8.shape}")
+        return self._run(self.params, frame_u8)
 
     def benchmark(self, iters: int = 100, warmup: int = 10) -> dict:
         frame = np.random.randint(0, 255, self.frame_shape, np.uint8)

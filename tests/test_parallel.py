@@ -285,3 +285,79 @@ def test_sharded_int8_matches_single_device():
                 rtol=1e-5, atol=1e-5, err_msg=f"kw={kw}")
         r = sharded.benchmark(iters=2, warmup=1)
         assert r["images_per_sec"] > 0
+
+
+def test_spatial_sharded_engine_matches_single_device():
+    """SpatialShardedEngine: activations sharded over image HEIGHT
+    ('space' axis, composed with DP over 'data') must reproduce the
+    single-device forward exactly, and the partitioned trunk must move
+    shard boundaries via halo exchange (collective-permute), not by
+    re-gathering input-scale tensors. The reference has no SP at all
+    (SURVEY 2.5); this is the TPU-native >HBM-frame capability."""
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.infer.engine import ThroughputEngine
+    from sr_object_detection_tpu.io.weights import init_params
+    from sr_object_detection_tpu.models.zoo import tiny_yolo_voc
+    from sr_object_detection_tpu.parallel.spatial import (
+        SpatialShardedEngine, spatial_mesh)
+
+    spec = tiny_yolo_voc(width=128, height=128)
+    params = init_params(spec, seed=0)
+    x = jnp.asarray(
+        np.random.RandomState(0).uniform(0, 1, (8, 128, 128, 3)),
+        jnp.float32)
+
+    ref = ThroughputEngine(spec, params, batch=8, dtype=jnp.float32)
+    out_ref = np.asarray(ref(x))
+
+    for nd, ns in ((1, 4), (2, 4), (4, 2)):
+        mesh = spatial_mesh(ns, n_data=nd)
+        eng = SpatialShardedEngine(spec, params, mesh=mesh, batch=8,
+                                   dtype=jnp.float32)
+        out = np.asarray(eng(x))
+        np.testing.assert_allclose(out, out_ref, rtol=2e-5, atol=2e-5,
+                                   err_msg=f"data={nd} space={ns}")
+        assert eng.compiled_trunk_is_halo_exchanged(), \
+            f"no halo exchange in partitioned module (data={nd}, ns={ns})"
+    r = eng.benchmark(iters=2, warmup=1)
+    assert r["images_per_sec"] > 0
+
+
+def test_spatial_sharding_rejects_indivisible_height():
+    from sr_object_detection_tpu.io.weights import init_params
+    from sr_object_detection_tpu.models.zoo import tiny_yolo_voc
+    from sr_object_detection_tpu.parallel.spatial import (
+        SpatialShardedEngine, spatial_mesh)
+
+    spec = tiny_yolo_voc(width=96, height=96)
+    params = init_params(spec, seed=0)
+    with pytest.raises(ValueError, match="divisible"):
+        # 96 % (2*5) != 0: shards would hold odd/unequal row counts
+        SpatialShardedEngine(spec, params, mesh=spatial_mesh(5), batch=5)
+
+
+def test_spatial_sharded_route_reorg_topology():
+    """SP on the yolov2-style trunk: the route concat and the reorg
+    space-to-depth must survive height sharding (the partitioner may
+    reshard around the reorg's (h,2,w,2) reshape, but the answer must
+    be exact and the trunk halo-exchanged)."""
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.infer.engine import ThroughputEngine
+    from sr_object_detection_tpu.io.weights import init_params
+    from sr_object_detection_tpu.models.zoo import yolov2
+    from sr_object_detection_tpu.parallel.spatial import (
+        SpatialShardedEngine, spatial_mesh)
+
+    spec = yolov2(width=128, height=128)
+    params = init_params(spec, seed=0)
+    x = jnp.asarray(
+        np.random.RandomState(0).uniform(0, 1, (4, 128, 128, 3)),
+        jnp.float32)
+    ref = np.asarray(ThroughputEngine(spec, params, batch=4,
+                                      dtype=jnp.float32)(x))
+    eng = SpatialShardedEngine(spec, params,
+                               mesh=spatial_mesh(4, n_data=2),
+                               batch=4, dtype=jnp.float32)
+    out = np.asarray(eng(x))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+    assert eng.compiled_trunk_is_halo_exchanged()
