@@ -425,7 +425,7 @@ class LatencyEngine:
     def __init__(self, spec: S.NetworkSpec, params, *,
                  dtype=jnp.bfloat16, fold_bn: bool = True,
                  frame_hw: Optional[tuple[int, int]] = None,
-                 int8_calib=None):
+                 int8_calib=None, fused_stem: bool = False):
         if int8_calib is not None:
             # int8 serving mode: the batch-1 path is HBM-bandwidth
             # bound, so halving activation bytes cuts frame latency
@@ -448,9 +448,31 @@ class LatencyEngine:
             self.params = jax.tree.map(jnp.asarray, params)
             self.spec = spec
         self.dtype = dtype
+        self.fused_stem = False
         if int8_calib is None:
-            compiled = CompiledNetwork(self.spec, compute_dtype=dtype)
-            fwd = compiled.forward
+            fwd = None
+            if fused_stem and dtype == jnp.bfloat16:
+                # batch-1 stem ownership: XLA's B=1 layouts lane-pad
+                # every C<128 activation (~650us/frame of copies +
+                # retiled pool reduces on tiny-yolo-416); the Pallas
+                # flat channels-first stem removes that wholesale.
+                # Mosaic needs a real TPU (tests flip _INTERPRET).
+                from ..kernels import b1_stem as BS
+                if jax.default_backend() == "tpu" or BS._INTERPRET:
+                    stem_fn, n = BS.build_stem(self.spec, self.params)
+                    if stem_fn is not None:
+                        sub = BS.truncate_spec(self.spec, n)
+                        tail = CompiledNetwork(sub, compute_dtype=dtype)
+                        tail_params = self.params[n:]
+
+                        def fwd(params, x, _stem=stem_fn, _tail=tail,
+                                _tp=tail_params):
+                            return _tail.forward(_tp, _stem(x))
+
+                        self.fused_stem = True
+            if fwd is None:
+                compiled = CompiledNetwork(self.spec, compute_dtype=dtype)
+                fwd = compiled.forward
         net = spec.net
         self.frame_hw = frame_hw
 
@@ -561,24 +583,43 @@ class LatencyEngine:
 def best_latency_engine(spec: S.NetworkSpec, params, *, int8_calib,
                         dtype=jnp.bfloat16, reps: int = 100,
                         frame_hw=None):
-    """Serving-default batch-1 engine: measure int8 vs bf16 ON DEVICE
-    and return the faster one (the int8 requant chain is latency-bound
-    at batch 1 and measured SLOWER than bf16 on v5e — 1.78 vs 1.06 ms —
-    so int8 must never be the blind default; BENCH_r02 batch-1 rows).
+    """Serving-default batch-1 engine: measure the candidates ON DEVICE
+    and return the fastest —
+
+      * bf16 + Pallas fused stem (kernels/b1_stem.py): measured 0.398 vs
+        1.079 ms on v5e tiny-yolo-416 (2.7x — B=1 XLA spends ~650us in
+        stem relayout copies the kernel removes);
+      * plain bf16;
+      * int8 (its requant chain is latency-bound at batch 1 and measured
+        SLOWER than bf16 on v5e — 1.78 vs 1.06 ms — so it must never be
+        the blind default; BENCH_r02 batch-1 rows).
 
     The returned engine carries a ``selection`` dict:
-    {"bf16_ms", "int8_ms", "chosen"}."""
+    {"bf16_ms", "fused_ms", "int8_ms", "chosen"}."""
+    cands = {}
     e_bf = LatencyEngine(spec, params, dtype=dtype, frame_hw=frame_hw)
-    t_bf = e_bf.device_benchmark(reps=reps)["device_ms_per_frame"]
+    cands["bf16"] = (
+        e_bf, e_bf.device_benchmark(reps=reps)["device_ms_per_frame"])
+    try:
+        e_fs = LatencyEngine(spec, params, dtype=dtype, frame_hw=frame_hw,
+                             fused_stem=True)
+        if e_fs.fused_stem:
+            cands["fused"] = (
+                e_fs,
+                e_fs.device_benchmark(reps=reps)["device_ms_per_frame"])
+    except Exception:
+        pass   # Mosaic/unsupported topology: plain bf16 stays available
     try:
         e_i8 = LatencyEngine(spec, params, int8_calib=int8_calib,
                              frame_hw=frame_hw)
-        t_i8 = e_i8.device_benchmark(reps=reps)["device_ms_per_frame"]
+        cands["int8"] = (
+            e_i8, e_i8.device_benchmark(reps=reps)["device_ms_per_frame"])
     except NotImplementedError:
-        e_i8, t_i8 = None, float("inf")
-    win = e_i8 if (e_i8 is not None and t_i8 <= t_bf) else e_bf
-    win.selection = {"bf16_ms": t_bf, "int8_ms": t_i8,
-                     "chosen": "int8" if win is e_i8 else "bf16"}
+        pass
+    chosen = min(cands, key=lambda k: cands[k][1])
+    win = cands[chosen][0]
+    win.selection = {f"{k}_ms": v for k, (_, v) in cands.items()}
+    win.selection["chosen"] = chosen
     return win
 
 
