@@ -114,3 +114,32 @@ def test_best_latency_engine_measures_fused_candidate():
     eng = best_latency_engine(spec, params, int8_calib=calib, reps=2)
     assert "bf16_ms" in eng.selection and "fused_ms" in eng.selection
     assert eng.selection["chosen"] in ("bf16", "fused", "int8")
+
+
+def test_fused_stem_det_for_det():
+    """Detection-level gate for the fused-stem serving default (the
+    analog of the int8 mAP gate, sized for CI): over a batch of random
+    frames, the thresholded detections of the fused engine must match
+    the plain bf16 engine det-for-det (same classes, boxes within bf16
+    noise)."""
+    spec = tiny_yolo_voc(width=128, height=128)
+    params = init_params(spec, seed=0)
+    base = LatencyEngine(spec, params, dtype=jnp.bfloat16)
+    fused = LatencyEngine(spec, params, dtype=jnp.bfloat16,
+                          fused_stem=True)
+    rng = np.random.RandomState(7)
+    for _ in range(4):
+        frame = rng.randint(0, 255, base.frame_shape, np.uint8)
+        b0, p0 = (np.asarray(t, np.float32) for t in base(frame))
+        b1, p1 = (np.asarray(t, np.float32) for t in fused(frame))
+
+        def dets(bx, pr, thr=0.15):
+            keep = pr.max(-1) > thr
+            cls = pr.argmax(-1)[keep]
+            order = np.lexsort(np.round(bx[keep], 3).T)
+            return cls[order], bx[keep][order]
+        c0, g0 = dets(b0, p0)
+        c1, g1 = dets(b1, p1)
+        assert len(c0) == len(c1)
+        np.testing.assert_array_equal(c0, c1)
+        np.testing.assert_allclose(g0, g1, atol=5e-3)
