@@ -71,14 +71,16 @@ class CompiledNetwork:
     """A NetworkSpec bound to resolved side data (trees) and a forward fn."""
 
     def __init__(self, spec: S.NetworkSpec, *, compute_dtype=None,
-                 tree_search_dirs: tuple[str, ...] = ()):
+                 tree_search_dirs: tuple[str, ...] = (),
+                 b1_matmul: bool = False):
         self.spec = spec
         self.compute_dtype = compute_dtype
         self.trees = resolve_trees(spec, tree_search_dirs)
 
         self._keep = _live_set(spec)
         self.forward = build_forward(
-            spec, trees=self.trees, compute_dtype=compute_dtype)
+            spec, trees=self.trees, compute_dtype=compute_dtype,
+            b1_matmul=b1_matmul)
 
     @property
     def net(self) -> S.NetSpec:
@@ -110,7 +112,7 @@ def _as_flat(x):
 
 
 def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None,
-                  fused_stem: bool = False):
+                  fused_stem: bool = False, b1_matmul: bool = False):
     """Build forward(params, x, *, train=False, rng=None, truth=None).
 
     Returns (output, aux) where output is the network output (flat (B,N)
@@ -208,7 +210,8 @@ def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None,
                         bn_updates[i] = bn
                 else:
                     cur = C.conv_block(cur, params[i], l, act,
-                                       compute_dtype=compute_dtype)
+                                       compute_dtype=compute_dtype,
+                                       b1_matmul=b1_matmul)
 
             elif isinstance(l, S.ConnectedSpec):
                 cur = _as_flat(cur)

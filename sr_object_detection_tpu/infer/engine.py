@@ -462,7 +462,12 @@ class LatencyEngine:
                     stem_fn, n = BS.build_stem(self.spec, self.params)
                     if stem_fn is not None:
                         sub = BS.truncate_spec(self.spec, n)
-                        tail = CompiledNetwork(sub, compute_dtype=dtype)
+                        # tail 3x3 convs at B=1 run as 9-tap matmuls
+                        # (spatial fills the sublanes; XLA's B=1 conv
+                        # layout wastes half of every tile — measured
+                        # 1.4-1.55x on the 13x13 convs)
+                        tail = CompiledNetwork(sub, compute_dtype=dtype,
+                                               b1_matmul=True)
                         tail_params = self.params[n:]
 
                         def fwd(params, x, _stem=stem_fn, _tail=tail,

@@ -58,6 +58,32 @@ def conv2d(x, w, *, stride: int, pad: int, compute_dtype=None):
     )
 
 
+def conv2d_b1_tap_matmul(x, w, *, pad: int, compute_dtype=None):
+    """3x3 stride-1 conv at batch 1 as 9 explicit (H*W, Cin)@(Cin, Cout)
+    matmuls.
+
+    At B=1 XLA lays the conv's NHWC operand with the unit batch dim in
+    SUBLANES (layout {3,0,2,1}, T(2,128) tile), wasting half of every
+    tile at 13x13-scale spatial dims — measured 1.4-1.55x slower than
+    this formulation on v5e (conv7/conv8 of tiny-yolo-416; PARITY.md
+    batch-1 section). Here the spatial dim itself fills the sublanes.
+    Accumulation f32 like conv2d; output f32 NHWC.
+    """
+    _, H, W, _ = x.shape
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    xp = jnp.pad(x[0], ((pad, pad), (pad, pad), (0, 0)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            a = xp[dy:dy + H, dx:dx + W].reshape(H * W, -1)
+            d = jnp.dot(a, w[dy, dx],
+                        preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+    return acc.reshape(1, H, W, -1)
+
+
 def batchnorm_inference(x, scales, rolling_mean, rolling_var):
     """(x - mean) / (sqrt(var) + eps) * scale  — channelwise over NHWC[-1].
 
@@ -251,7 +277,7 @@ def binarize_input(x):
 
 
 def conv_block(x, params, spec, activation_fn, *, train: bool = False,
-               compute_dtype=None):
+               compute_dtype=None, b1_matmul: bool = False):
     """Full darknet conv layer: conv [+BN] +bias +activation.
 
     ``params``: dict with 'weights' (HWIO), 'biases' (C,), and when
@@ -267,8 +293,13 @@ def conv_block(x, params, spec, activation_fn, *, train: bool = False,
         # binarized weights AND sign-binarized input
         w = binarize_weights(w)
         x = binarize_input(x)
-    y = conv2d(x, w, stride=spec.stride, pad=spec.pad,
-               compute_dtype=compute_dtype)
+    if (b1_matmul and not train and x.shape[0] == 1 and spec.size == 3
+            and spec.stride == 1 and not getattr(spec, "xnor", False)):
+        y = conv2d_b1_tap_matmul(x, w, pad=spec.pad,
+                                 compute_dtype=compute_dtype)
+    else:
+        y = conv2d(x, w, stride=spec.stride, pad=spec.pad,
+                   compute_dtype=compute_dtype)
     bn_updates = None
     if spec.batch_normalize:
         if train:
