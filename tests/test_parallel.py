@@ -361,3 +361,33 @@ def test_spatial_sharded_route_reorg_topology():
     out = np.asarray(eng(x))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
     assert eng.compiled_trunk_is_halo_exchanged()
+
+
+def test_pipelined_engine_matches_single_device():
+    """PP: layer stages on separate devices, microbatched activations
+    hopping stage-to-stage, must reproduce the single-device forward
+    exactly — on the chain topology and on yolov2's route/reorg trunk
+    (cuts are only taken where no later layer routes back across them).
+    The reference has no PP at all (SURVEY 2.5)."""
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.infer.engine import ThroughputEngine
+    from sr_object_detection_tpu.io.weights import init_params
+    from sr_object_detection_tpu.models.zoo import tiny_yolo_voc, yolov2
+    from sr_object_detection_tpu.parallel.pipeline import (
+        PipelinedEngine, plan_stages)
+
+    for mk, n_stages in ((tiny_yolo_voc, 4), (yolov2, 3)):
+        spec = mk(width=128, height=128)
+        params = init_params(spec, seed=0)
+        x = np.random.RandomState(0).uniform(
+            0, 1, (4, 128, 128, 3)).astype(np.float32)
+        ref = np.asarray(ThroughputEngine(spec, params, batch=4,
+                                          dtype=jnp.float32)(jnp.asarray(x)))
+        eng = PipelinedEngine(spec, params,
+                              devices=jax.devices()[:n_stages],
+                              microbatch=2)
+        out = np.asarray(eng(x))
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+        devs = eng.stage_devices()
+        assert len(set(map(str, devs))) == n_stages
+        assert len(plan_stages(spec, n_stages)) == n_stages - 1
