@@ -83,7 +83,9 @@ class PipelinedEngine:
     Exactness vs single-device is pinned in tests/test_parallel.py.
     `microbatch` slices the input batch; with several microbatches in
     flight the per-device async dispatch queues overlap stage s of
-    microbatch t with stage s-1 of microbatch t+1.
+    microbatch t with stage s-1 of microbatch t+1. Feed batches that
+    divide evenly by `microbatch` — a ragged tail microbatch is correct
+    but triggers a one-time recompile at the tail shape.
     """
 
     def __init__(self, spec: S.NetworkSpec, params, *, devices,
