@@ -358,8 +358,25 @@ def cmd_vid(argv):
 
 
 def cmd_dice(argv):
+    """run_dice (dice.c:104-118): [train/test/valid] cfg [weights]
+    [image]. A bare cfg (no subcommand) keeps the test behavior."""
+    sub = argv[0]
+    if sub in ("train", "valid", "test"):
+        argv = argv[1:]
+    else:
+        sub = "test"
+    cfg = argv[0]
+    weights = argv[1] if len(argv) > 1 and not argv[1].startswith("-") \
+        else None
+    if sub == "train":
+        from .misc_train import train_dice
+        return train_dice(cfg, weights, argv[2:] if weights else argv[1:])
+    if sub == "valid":
+        from .misc_train import validate_dice
+        return validate_dice(cfg, weights,
+                             argv[2:] if weights else argv[1:])
     from .misc_apps import dice
-    return dice(argv[0], argv[1], argv[2])
+    return dice(cfg, weights, argv[2])
 
 
 def cmd_voxel(argv):

@@ -169,7 +169,10 @@ __all__ = ["art", "captcha", "tag", "compare", "writing",
            "VOC_NAMES", "NUMCHARS"]
 
 
-DICE_LABELS = ["one", "two", "three", "four", "five", "six"]
+# dice_labels (dice.c:5) — also the path substrings that label the
+# training images (fill_truth path match; scripts/dice_label.sh names
+# frames face1_*.jpg .. face6_*.jpg)
+DICE_LABELS = ["face1", "face2", "face3", "face4", "face5", "face6"]
 
 
 def dice(cfg: str, weights: str, image_path: str):

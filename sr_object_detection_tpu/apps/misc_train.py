@@ -369,6 +369,89 @@ def train_vid_rnn(cfg: str, weights, argv, *, max_batches=None):
                        max_batches=max_batches)
 
 
+# ---------------------------------------------------------------------
+# dice
+# ---------------------------------------------------------------------
+
+DICE_LABELS = ["face1", "face2", "face3", "face4", "face5", "face6"]
+
+
+def train_dice(cfg: str, weights, argv, *, max_batches=None):
+    """train_dice (dice.c:7-46): classification over the six face
+    labels, truth by path-substring match (fill_truth, data.c:387),
+    images stretch-resized to net size (load_data_old, data.c:815).
+    The reference mutates net.learning_rate *= .1 every 100 iters on
+    top of whatever the cfg says (dice.c:38) — that is exactly the
+    STEP policy with step=100, scale=.1, applied here by overriding
+    the parsed net schedule."""
+    import dataclasses
+    from ..train.trainer import Trainer
+    list_path = find_value(argv, "-list", "data/dice/dice.train.list")
+    spec = parse_network_cfg(cfg)
+    spec = dataclasses.replace(spec, net=dataclasses.replace(
+        spec.net, policy="step", step=100, scale=0.1))
+    params = None
+    seen = 0
+    if weights:
+        params, seen = load_weights(spec, weights)
+    trainer = Trainer(spec, params=params)
+    if weights and not find_arg(argv, "-clear"):
+        import jax.numpy as jnp
+        trainer.state.seen = jnp.asarray(int(seen))
+    paths = _read_list(list_path)
+    rng = np.random.default_rng(0)
+    outer = trainer.outer_batch
+
+    def next_batch(n):
+        picks = [paths[rng.integers(0, len(paths))] for _ in range(n)]
+        x = np.stack([_load_resized(p, spec.net.w, spec.net.h)
+                      for p in picks])
+        y = np.zeros((n, len(DICE_LABELS)), np.float32)
+        for i, p in enumerate(picks):
+            for j, lab in enumerate(DICE_LABELS):
+                if lab in p:
+                    y[i, j] = 1.0
+        return x, y
+
+    return _train_loop(spec, trainer, next_batch, argv, cfg,
+                       max_batches=max_batches)
+
+
+def validate_dice(cfg: str, weights, argv):
+    """validate_dice (dice.c:47-67): whole val list in one pass,
+    top-1/top-2 accuracy (network_accuracies(net, val, 2));
+    the reference prints acc[0]."""
+    import jax
+    import jax.numpy as jnp
+    from ..graph.compiler import CompiledNetwork
+    from ..io.weights import init_params
+    list_path = find_value(argv, "-list", "data/dice/dice.val.list")
+    spec = parse_network_cfg(cfg)
+    params = load_weights(spec, weights)[0] if weights \
+        else init_params(spec)
+    net = CompiledNetwork(spec)
+    fwd = jax.jit(lambda p, x: net.forward(p, x)[0])
+    paths = _read_list(list_path)
+    hits1 = hits2 = 0
+    for s in range(0, len(paths), 64):
+        chunk = paths[s:s + 64]
+        x = np.stack([_load_resized(p, spec.net.w, spec.net.h)
+                      for p in chunk])
+        out = np.asarray(fwd(params, jnp.asarray(x)))
+        out = out.reshape(out.shape[0], -1)
+        truth = np.array([[j for j, lab in enumerate(DICE_LABELS)
+                           if lab in p][0] for p in chunk])
+        order = np.argsort(-out, axis=1)
+        hits1 += int(np.sum(order[:, 0] == truth))
+        hits2 += int(np.sum(np.any(order[:, :2] == truth[:, None],
+                                   axis=1)))
+    acc1, acc2 = hits1 / len(paths), hits2 / len(paths)
+    print(f"Validation Accuracy: {acc1:f}, {len(paths)} images")
+    return acc1, acc2
+
+
 __all__ = ["train_captcha", "train_tag", "train_writing",
-           "train_compare", "train_vid_rnn", "fix_data_captcha",
-           "load_tags", "load_compare_labels", "FrameDirVideos"]
+           "train_compare", "train_vid_rnn", "train_dice",
+           "validate_dice", "fix_data_captcha",
+           "load_tags", "load_compare_labels", "FrameDirVideos",
+           "DICE_LABELS"]

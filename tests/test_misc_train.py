@@ -384,3 +384,38 @@ def test_threat_and_gun_demos(tmp_path):
     # toy net has 2 outputs; no BAD_CATS index fits -> never flagged
     assert flags == [False] * 4
     assert "Scanning..." in out2.getvalue()
+
+
+def test_train_and_validate_dice(tmp_path):
+    """train_dice/validate_dice (dice.c:7-67): path-substring truth
+    over the six face labels, top-1/top-2 val accuracy."""
+    lst, _ = _image_set(tmp_path, MT.DICE_LABELS)
+    cfg = _toy_cfg(tmp_path, "dice.cfg", CLS_CFG.format(ch=3, out=6))
+    losses = MT.train_dice(
+        cfg, None, ["-list", lst, "-backup", str(tmp_path / "bk")],
+        max_batches=40)
+    assert np.all(np.isfinite(losses))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    wfile = tmp_path / "bk" / "dice.weights"
+    assert wfile.exists()
+    acc1, acc2 = MT.validate_dice(cfg, str(wfile), ["-list", lst])
+    # brightness-separable toy set: top-1 must beat chance, top-2
+    # dominates top-1 by construction (network_accuracies contract)
+    assert acc2 >= acc1 > 1.0 / 6.0
+
+
+def test_dice_lr_step_override(tmp_path):
+    """dice.c:38 mutates learning_rate *= .1 every 100 iters regardless
+    of cfg policy — train_dice realizes it as step(100, .1)."""
+    from sr_object_detection_tpu.train.sgd import learning_rate_py
+    from sr_object_detection_tpu.graph.spec import parse_network_cfg
+    import dataclasses
+    cfg = _toy_cfg(tmp_path, "d2.cfg", CLS_CFG.format(ch=3, out=6))
+    spec = parse_network_cfg(cfg)
+    net = dataclasses.replace(spec.net, policy="step", step=100,
+                              scale=0.1)
+    assert abs(learning_rate_py(net, 99) - net.learning_rate) < 1e-9
+    assert abs(learning_rate_py(net, 100) - net.learning_rate * .1) \
+        < 1e-9
+    assert abs(learning_rate_py(net, 250) - net.learning_rate * .01) \
+        < 1e-9
