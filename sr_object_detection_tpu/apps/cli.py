@@ -289,6 +289,15 @@ def cmd_compare(argv):
         w = argv[2] if len(argv) > 2 and not argv[2].startswith("-") \
             else None
         return train_compare(argv[1], w, argv[3:] if w else argv[2:])
+    if argv and argv[0] in ("valid", "sort", "battle"):
+        # run_compare dispatch (compare.c:343-359)
+        from . import compare_app
+        fn = {"valid": compare_app.validate_compare,
+              "sort": compare_app.sort_master,
+              "battle": compare_app.battle_royale}[argv[0]]
+        w = argv[2] if len(argv) > 2 and not argv[2].startswith("-") \
+            else None
+        return fn(argv[1], w, argv[3:] if w else argv[2:])
     from .misc_apps import compare
     return compare(argv[0], argv[1], argv[2], argv[3])
 

@@ -419,3 +419,79 @@ def test_dice_lr_step_override(tmp_path):
         < 1e-9
     assert abs(learning_rate_py(net, 250) - net.learning_rate * .01) \
         < 1e-9
+
+
+# ---------------------------------------------------------------------
+# compare eval/ranking modes (compare_app)
+# ---------------------------------------------------------------------
+
+def _compare_set(tmp_path, n=12, classes=2, seed=3):
+    """Pair-comparison set: image brightness encodes quality; labels
+    give class-0 IoU = brightness so order is learnable/checkable."""
+    rng = np.random.default_rng(seed)
+    d = tmp_path / "imgs"
+    d.mkdir(exist_ok=True)
+    ld = tmp_path / "labels"
+    ld.mkdir(exist_ok=True)
+    paths = []
+    for k in range(n):
+        q = (k + 1) / (n + 1)
+        img = np.full((16, 16, 3), q, np.float32)
+        p = d / f"im{k}.jpg.ppm"
+        _write_ppm(p, img)
+        lab = str(p).replace("imgs", "labels").replace("jpg", "txt")
+        with open(lab, "w") as f:
+            f.write(f"0 {q:.4f}\n")
+        paths.append(str(p))
+    lst = tmp_path / "cmp.list"
+    lst.write_text("\n".join(paths) + "\n")
+    return str(lst), paths
+
+
+def test_validate_compare(tmp_path, capsys):
+    """validate_compare (compare.c:83-146): pairwise order accuracy
+    over differing class slots, streamed in 10 splits."""
+    from sr_object_detection_tpu.apps import compare_app as CA
+    lst, _ = _compare_set(tmp_path)
+    cfg = _toy_cfg(tmp_path, "cmp.cfg", CLS_CFG.format(ch=6, out=4))
+    acc = CA.validate_compare(cfg, None, ["-list", lst, "-classes", "2"])
+    assert 0.0 <= acc <= 1.0
+    out = capsys.readouterr().out
+    assert "Acc:" in out
+
+
+def test_sort_master(tmp_path, capsys):
+    """SortMaster3000 (compare.c:228-262): net-as-comparator sort
+    returns a permutation of the list."""
+    from sr_object_detection_tpu.apps import compare_app as CA
+    lst, paths = _compare_set(tmp_path, n=6)
+    cfg = _toy_cfg(tmp_path, "cmp.cfg", CLS_CFG.format(ch=6, out=16))
+    out = CA.sort_master(cfg, None, ["-list", lst, "-class", "7"])
+    assert sorted(out) == sorted(paths)
+    assert "compares" in capsys.readouterr().out
+
+
+def test_battle_royale(tmp_path):
+    """BattleRoyaleWithCheese (compare.c:264-341): elo tournament —
+    per-class survivor logs exist, elos move off 1500, total elo is
+    conserved per class (zero-sum updates)."""
+    from sr_object_detection_tpu.apps import compare_app as CA
+    lst, paths = _compare_set(tmp_path, n=16)
+    cfg = _toy_cfg(tmp_path, "cmp.cfg", CLS_CFG.format(ch=6, out=4))
+    elos = CA.battle_royale(
+        cfg, None, ["-list", lst, "-classes", "2"],
+        rng=np.random.default_rng(0), all_rounds=2, class_rounds=2,
+        out_dir=str(tmp_path / "results"))
+    assert elos.shape == (16, 2)
+    assert np.any(elos != 1500.0)
+    np.testing.assert_allclose(elos.sum(axis=0), 1500.0 * 16,
+                               atol=1e-6)
+    for c in range(2):
+        log = tmp_path / "results" / f"battle_{c}.log"
+        assert log.exists()
+        lines = log.read_text().strip().splitlines()
+        # field: 16 -> 8 (half) -> 6 -> 4 (9/10 shrinks, even-rounded)
+        assert len(lines) == 4
+        for line in lines:
+            p, elo = line.rsplit(" ", 1)
+            assert p in paths and float(elo) != 0
