@@ -125,6 +125,12 @@ def run_classifier(argv: list[str]):
     if sub == "predict":
         return predict_classifier(argv[0], argv[1], argv[2], argv[3],
                                   argv[4:])
+    if sub == "try":
+        # classifier.c:1164: try <data> <cfg> <weights> <image> [layer]
+        rest = argv[4:]
+        if rest and not rest[0].startswith("-"):
+            rest = ["-layer", rest[0]] + rest[1:]
+        return try_classifier(argv[0], argv[1], argv[2], argv[3], rest)
     data_cfg, cfg = argv[0], argv[1]
     weights = argv[2] if len(argv) > 2 and not argv[2].startswith("-") \
         else None
@@ -139,6 +145,14 @@ def run_classifier(argv: list[str]):
         return validate_classifier_crop(data_cfg, cfg, weights, rest)
     if sub in ("valid_full", "validfull"):
         return validate_classifier_full(data_cfg, cfg, weights, rest)
+    if sub in ("valid_10", "valid10"):
+        return validate_classifier_10(data_cfg, cfg, weights, rest)
+    if sub == "test":
+        return test_classifier(data_cfg, cfg, weights, rest)
+    if sub == "label":
+        return label_classifier(data_cfg, cfg, weights, rest)
+    if sub == "demo":
+        return demo_classifier(data_cfg, cfg, weights, rest)
     if sub == "threat":
         return threat_classifier(data_cfg, cfg, weights, rest)
     if sub == "gun":
@@ -382,3 +396,214 @@ def gun_classifier(data_cfg: str, cfg: str, weights: str,
             out.write("Scanning...\n")
         flagged.append(bool(cats))
     return flagged
+
+
+def validate_classifier_10(data_cfg: str, cfg: str, weights: str,
+                           argv: list[str]):
+    """validate_classifier_10 (classifier.c:336-404): 10-crop eval —
+    stretch-load at (w+32, h+32), 4 corner + 1 center crops of the
+    image and its horizontal flip, predictions summed. The reference
+    runs 10 batch-1 forwards per image; here the 10 crops go through
+    ONE batched device dispatch."""
+    import jax.numpy as jnp
+    from ..infer.classifier import Classifier
+    from ..ops.image import load_image_rgb, resize_image_np, crop_image_np
+
+    options = read_data_cfg(data_cfg)
+    valid_list = options.get("valid", "data/train.list")
+    labels = read_names(options["labels"]) if "labels" in options else \
+        read_names(options["names"])
+    topk = find_value(argv, "-topk", int(options.get("top", 1)), int)
+    clf = Classifier(cfg, weights, names=labels)
+    w, h, shift = clf.spec.net.w, clf.spec.net.h, 32
+
+    with open(valid_list) as f:
+        paths = [l.strip() for l in f if l.strip()]
+    avg_acc = avg_topk = 0.0
+    for i, path in enumerate(paths):
+        truth = _class_of_path(path, labels)
+        im = resize_image_np(load_image_rgb(path), w + shift, h + shift)
+        corners = [(-shift, -shift), (shift, -shift), (0, 0),
+                   (-shift, shift), (shift, shift)]
+        crops = [crop_image_np(im, dx, dy, w, h) for dx, dy in corners]
+        flipped = im[:, ::-1, :]
+        crops += [crop_image_np(flipped, dx, dy, w, h)
+                  for dx, dy in corners]
+        pred = np.asarray(clf._predict(
+            clf.params, jnp.asarray(np.stack(crops))))
+        pred = pred.reshape(10, -1)[:, :len(labels)].sum(axis=0)
+        order = np.argsort(-pred)[:topk]
+        avg_acc += int(order[0] == truth)
+        avg_topk += int(truth in order)
+        print(f"{i}: top 1: {avg_acc/(i+1):f}, top {topk}: "
+              f"{avg_topk/(i+1):f}")
+    n = max(len(paths), 1)
+    return avg_acc / n, avg_topk / n
+
+
+# try_classifier's hardcoded ImageNet stats (classifier.c:629-630)
+_TRY_MEAN = np.array([0.48263312050943, 0.45230225481413,
+                      0.40099074308742], np.float32)
+_TRY_STD = np.array([0.22590347483426, 0.22120921437787,
+                     0.22103996251583], np.float32)
+
+
+def try_classifier(data_cfg: str, cfg: str, weights: str, image: str,
+                   argv: list[str], out=None):
+    """try_classifier (classifier.c:595-675): debug mode — resize_min
+    256, center-crop 224 at the reference's off-by-one offset,
+    normalize with hardcoded ImageNet mean/std, print layer
+    `-layer N`'s BN rolling stats and activations, then top-k."""
+    import sys as _sys
+    import jax
+    import jax.numpy as jnp
+    from ..graph.compiler import build_forward
+    from ..ops.image import load_image_rgb, resize_min_np, crop_image_np
+    from ..graph import spec as S
+
+    out = out or _sys.stdout
+    layer_num = find_value(argv, "-layer", -1, int)
+    options = read_data_cfg(data_cfg) if data_cfg else {}
+    names = read_names(options["names"]) if "names" in options else (
+        read_names(options["labels"]) if "labels" in options else None)
+    top = find_value(argv, "-topk", int(options.get("top", 1)), int)
+
+    spec = parse_network_cfg(cfg)
+    params, _ = load_weights(spec, weights) if weights else (None, 0)
+    if params is None:
+        from ..io.weights import init_params
+        params = init_params(spec)
+    fwd = jax.jit(lambda p, x: build_forward(spec)(p, x, keep_all=True))
+
+    r = resize_min_np(load_image_rgb(image), 256)
+    ih, iw = r.shape[:2]
+    im = crop_image_np(r, (iw - 224 - 1) // 2 + 1,
+                       (ih - 224 - 1) // 2 + 1, 224, 224)
+    im = (im - _TRY_MEAN) / (_TRY_STD + 1e-6)     # normalize_cpu eps
+    pred, aux = fwd(params, jnp.asarray(im[None]))
+    pred = np.asarray(pred).reshape(-1)
+
+    if 0 <= layer_num < len(spec.layers):
+        lp = params[layer_num] if layer_num < len(params) else None
+        if isinstance(spec.layers[layer_num], S.ConvSpec) and lp and \
+                "rolling_mean" in lp:
+            for mu, var, sc in zip(np.asarray(lp["rolling_mean"]),
+                                   np.asarray(lp["rolling_variance"]),
+                                   np.asarray(lp["scales"])):
+                out.write(f"{mu:f} {var:f} {sc:f}\n")
+        act = aux["outputs"].get(layer_num)
+        if act is not None:
+            for v in np.asarray(act).reshape(-1):
+                out.write(f"{v:f}\n")
+    for ix in np.argsort(-pred)[:top]:
+        name = names[ix] if names and ix < len(names) else str(ix)
+        out.write(f"{name}: {pred[ix]:f}\n")
+    return pred
+
+
+def test_classifier(data_cfg: str, cfg: str, weights: str,
+                    argv: list[str], out=None):
+    """test_classifier (classifier.c:771-842): batched plain-resize
+    forward over the `test` list, one TSV row per image
+    (path\\tpred...). The reference's prefetch thread + per-row
+    network_predict_data become one jitted batched forward per chunk."""
+    import sys as _sys
+    import jax
+    import jax.numpy as jnp
+    from ..graph.compiler import build_forward
+    from ..ops.image import load_image_rgb, resize_image_np
+
+    out = out or _sys.stdout
+    options = read_data_cfg(data_cfg)
+    test_list = options.get("test", "data/test.list")
+    batch = find_value(argv, "-batch", 0, int) or None
+
+    spec = parse_network_cfg(cfg)
+    if weights:
+        params, _ = load_weights(spec, weights)
+    else:
+        from ..io.weights import init_params
+        params = init_params(spec)
+    params = jax.tree.map(jnp.asarray, params)
+    fwd = jax.jit(lambda p, x: build_forward(spec)(p, x)[0])
+    batch = batch or max(spec.net.batch, 1)
+
+    with open(test_list) as f:
+        paths = [l.strip() for l in f if l.strip()]
+    for off in range(0, len(paths), batch):
+        chunk = paths[off:off + batch]
+        x = np.stack([resize_image_np(load_image_rgb(p),
+                                      spec.net.w, spec.net.h)
+                      for p in chunk])
+        pred = np.asarray(fwd(params, jnp.asarray(x)))
+        pred = pred.reshape(len(chunk), -1)
+        for p, row in zip(chunk, pred):
+            out.write(p + "".join(f"\t{v:g}" for v in row) + "\n")
+    return len(paths)
+
+
+def label_classifier(data_cfg: str, cfg: str, weights: str,
+                     argv: list[str], out=None):
+    """label_classifier (classifier.c:732-769): print the argmax label
+    name for each image in the `test` list (resize_min + center crop)."""
+    import sys as _sys
+    import jax.numpy as jnp
+    from ..infer.classifier import Classifier
+    from ..ops.image import load_image_rgb, resize_min_np, crop_image_np
+
+    out = out or _sys.stdout
+    options = read_data_cfg(data_cfg)
+    label_list = options.get("names", options.get("labels"))
+    test_list = options.get("test", "data/train.list")
+    labels = read_names(label_list)
+    clf = Classifier(cfg, weights, names=labels)
+    w, h = clf.spec.net.w, clf.spec.net.h
+
+    with open(test_list) as f:
+        paths = [l.strip() for l in f if l.strip()]
+    picked = []
+    for path in paths:
+        r = resize_min_np(load_image_rgb(path), w)
+        ih, iw = r.shape[:2]
+        crop = crop_image_np(r, (iw - w) // 2, (ih - h) // 2, w, h)
+        pred = np.asarray(clf._predict(
+            clf.params, jnp.asarray(crop[None]))).reshape(-1)
+        ind = int(np.argmax(pred[:len(labels)]))
+        out.write(labels[ind] + "\n")
+        picked.append(labels[ind])
+    return picked
+
+
+def demo_classifier(data_cfg: str, cfg: str, weights: str,
+                    argv: list[str], frames=None, out=None):
+    """demo_classifier (classifier.c:1056-1122): streaming top-k over
+    frames (here: -file dir/glob instead of a webcam) with an FPS
+    readout."""
+    import sys as _sys
+    import time as _time
+    import jax.numpy as jnp
+    from ..infer.classifier import Classifier
+    from ..ops.image import resize_image_np
+
+    out = out or _sys.stdout
+    options = read_data_cfg(data_cfg) if data_cfg else {}
+    names = read_names(options["names"]) if "names" in options else None
+    top = find_value(argv, "-topk", int(options.get("top", 1)), int)
+    clf = Classifier(cfg, weights, names=names)
+    w, h = clf.spec.net.w, clf.spec.net.h
+    fps = 0.0
+    results = []
+    for img in (frames if frames is not None else _demo_frames(argv)):
+        t0 = _time.time()
+        x = resize_image_np(img, w, h)
+        pred = np.asarray(clf._predict(
+            clf.params, jnp.asarray(x[None]))).reshape(-1)
+        dt = max(_time.time() - t0, 1e-6)
+        fps = 0.9 * fps + 0.1 / dt if fps else 1 / dt
+        out.write(f"FPS:{fps:.0f}\n")
+        order = np.argsort(-pred)[:top]
+        for ix in order:
+            name = names[ix] if names and ix < len(names) else str(ix)
+            out.write(f"{100*pred[ix]:.1f}%: {name}\n")
+        results.append(int(order[0]))
+    return results

@@ -74,6 +74,29 @@ def resize_image(im, w: int, h: int):
     return wy0j * part[..., y0, :, :] + wy1j * part[..., y1, :, :]
 
 
+def resize_min_np(im: np.ndarray, m: int) -> np.ndarray:
+    """Short side -> m keeping aspect, integer scaling
+    (image.c:1662-1676); returns the input when dims already match."""
+    ih, iw = im.shape[:2]
+    if iw < ih:
+        w, h = m, (ih * m) // iw
+    else:
+        w, h = (iw * m) // ih, m
+    if (w, h) == (iw, ih):
+        return im.astype(np.float32)
+    return resize_image_np(im, w, h)
+
+
+def crop_image_np(im: np.ndarray, dx: int, dy: int, w: int, h: int
+                  ) -> np.ndarray:
+    """Fixed-size crop with edge-replication for out-of-bounds coords
+    (image.c:1512-1532: constrain_int clamps source row/col)."""
+    ih, iw = im.shape[:2]
+    rows = np.clip(np.arange(h) + dy, 0, ih - 1)
+    cols = np.clip(np.arange(w) + dx, 0, iw - 1)
+    return im[rows[:, None], cols[None, :], :].astype(np.float32)
+
+
 def letterbox_dims(iw: int, ih: int, w: int, h: int) -> tuple[int, int]:
     """Aspect-preserving inner size (image.c:1609-1617, int math)."""
     if (w / iw) < (h / ih):

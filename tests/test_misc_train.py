@@ -495,3 +495,84 @@ def test_battle_royale(tmp_path):
         for line in lines:
             p, elo = line.rsplit(" ", 1)
             assert p in paths and float(elo) != 0
+
+
+def test_validate_classifier_10(tmp_path):
+    """10-crop eval (classifier.c:336-404): corner/center crops of the
+    image + flip, summed — one batched dispatch per image."""
+    from sr_object_detection_tpu.apps.classifier_app import \
+        validate_classifier_10
+    data_cfg, cfg, wfile, names = _classifier_setup(tmp_path)
+    top1, topk = validate_classifier_10(data_cfg, cfg, wfile, [])
+    assert top1 > 0.7
+    assert topk == 1.0
+
+
+def test_test_and_label_classifier(tmp_path):
+    """test (classifier.c:771): TSV rows of raw predictions over the
+    `test` list; label (classifier.c:732): argmax label names."""
+    import io
+    from sr_object_detection_tpu.apps.classifier_app import (
+        test_classifier, label_classifier)
+    data_cfg, cfg, wfile, names = _classifier_setup(tmp_path)
+    # reuse the valid list as the test list
+    opts = dict(l.split("=", 1) for l in
+                open(data_cfg).read().strip().splitlines())
+    with open(data_cfg, "a") as f:
+        f.write(f"test={opts['valid']}\n")
+    out = io.StringIO()
+    n = test_classifier(data_cfg, cfg, wfile, [], out=out)
+    rows = out.getvalue().strip().splitlines()
+    assert len(rows) == n == 10
+    for r in rows:
+        parts = r.split("\t")
+        assert parts[0].endswith(".ppm") and len(parts) == 3  # 2 classes
+        float(parts[1]), float(parts[2])
+    out2 = io.StringIO()
+    picked = label_classifier(data_cfg, cfg, wfile, [], out=out2)
+    assert len(picked) == 10 and set(picked) <= set(names)
+    # trained on brightness: most labels should match the path's class
+    paths = [l.strip() for l in open(opts["valid"])]
+    hits = sum(1 for p, lab in zip(paths, picked) if lab in p)
+    assert hits >= 7
+
+
+def test_demo_classifier(tmp_path):
+    import io
+    from sr_object_detection_tpu.apps.classifier_app import \
+        demo_classifier
+    data_cfg, cfg, wfile, names = _classifier_setup(tmp_path)
+    rng = np.random.default_rng(4)
+    frames = [rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+              for _ in range(3)]
+    out = io.StringIO()
+    res = demo_classifier(data_cfg, cfg, wfile, [], frames=frames,
+                          out=out)
+    assert len(res) == 3
+    assert "FPS:" in out.getvalue() and "%:" in out.getvalue()
+
+
+def test_try_classifier(tmp_path):
+    """try (classifier.c:595-675): 256->224 center-crop debug forward
+    printing the target layer's BN rolling stats + activations."""
+    import io
+    from sr_object_detection_tpu.apps.classifier_app import \
+        try_classifier
+    names = ["a", "b"]
+    labels = tmp_path / "labels.list"
+    labels.write_text("\n".join(names) + "\n")
+    data_cfg = tmp_path / "d.data"
+    data_cfg.write_text(f"names={labels}\ntop=2\n")
+    cfg = _toy_cfg(tmp_path, "t224.cfg", CLS_CFG.format(ch=3, out=2)
+                   .replace("height=16", "height=224")
+                   .replace("width=16", "width=224"))
+    img = tmp_path / "x.ppm"
+    _write_ppm(img, np.random.default_rng(1).uniform(
+        0, 1, (300, 260, 3)).astype(np.float32))
+    out = io.StringIO()
+    pred = try_classifier(str(data_cfg), cfg, None, str(img),
+                          ["-layer", "0"], out=out)
+    assert pred.shape[-1] >= 2 and np.all(np.isfinite(pred))
+    text = out.getvalue().strip().splitlines()
+    # 8 BN stat rows + 8*112*112 activations + 2 top-k lines
+    assert len(text) == 8 + 8 * 112 * 112 + 2
