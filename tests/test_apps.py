@@ -193,3 +193,107 @@ def test_streaming_demo_annotated_output(tmp_path):
     import glob
     frames = glob.glob(str(tmp_path / "demo_*.ppm"))
     assert len(frames) == 3
+
+
+# ---------------------------------------------------------------------
+# cifar extract / multi / csv / csvtrain / eval / distill (cifar.c)
+# ---------------------------------------------------------------------
+
+CIFAR_CFG = """\
+[net]
+batch=8
+subdivisions=1
+height=32
+width=32
+channels=3
+learning_rate=0.05
+momentum=0.9
+decay=0.0001
+policy=constant
+max_batches=6
+
+[convolutional]
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+batch_normalize=1
+
+[avgpool]
+
+[connected]
+output=10
+activation=logistic
+
+[cost]
+type=sse
+"""
+
+
+def _cifar_dir(tmp_path, n_train=16, n_test=8, seed=0):
+    rng = np.random.default_rng(seed)
+    d = tmp_path / "cifar"
+    d.mkdir()
+    for name, n in (("data_batch_1.bin", n_train),
+                    ("test_batch.bin", n_test)):
+        rec = np.zeros((n, 3073), np.uint8)
+        rec[:, 0] = rng.integers(0, 10, n)
+        rec[:, 1:] = rng.integers(0, 255, (n, 3072))
+        rec.tofile(d / name)
+    return str(d)
+
+
+def test_cifar_multi_and_csv_modes(tmp_path, capsys):
+    """test_cifar_multi/csv/csvtrain (cifar.c:115-244): flip-ensemble
+    top-1; CSV modes reproduce the reference's discarded-ensemble quirk
+    (the written matrix is the half-scaled unflipped predictions)."""
+    from sr_object_detection_tpu.apps import cifar_app as CA
+    data = _cifar_dir(tmp_path)
+    cfg = tmp_path / "c.cfg"
+    cfg.write_text(CIFAR_CFG)
+    acc = CA.test_cifar_multi(str(cfg), None, ["-data", data])
+    assert 0.0 <= acc <= 1.0
+    capsys.readouterr()
+    acc_csv = CA.test_cifar_csv(str(cfg), None, ["-data", data])
+    out = capsys.readouterr()
+    rows = [r for r in out.out.strip().splitlines() if "," in r]
+    assert len(rows) == 8 and len(rows[0].split(",")) == 10
+    assert "Accuracy:" in out.err
+    # eval mode scores a saved CSV against the test labels
+    csv_path = tmp_path / "combined.csv"
+    csv_path.write_text("\n".join(rows) + "\n")
+    acc_eval = CA.eval_cifar_csv(["-data", data, "-csv", str(csv_path)])
+    assert abs(acc_eval - acc_csv) < 1e-9
+    # csvtrain covers the train split (16 rows)
+    capsys.readouterr()
+    CA.test_cifar_csvtrain(str(cfg), None, ["-data", data])
+    rows_t = [r for r in capsys.readouterr().out.strip().splitlines()
+              if "," in r]
+    assert len(rows_t) == 16
+
+
+def test_cifar_extract_and_distill(tmp_path, capsys):
+    """extract_cifar (cifar.c:169) dumps <i>_<label> images;
+    train_cifar_distill (cifar.c:59) trains on .9*soft + .1*onehot."""
+    from sr_object_detection_tpu.apps import cifar_app as CA
+    data = _cifar_dir(tmp_path)
+    written = CA.extract_cifar(["-data", data, "-out",
+                                str(tmp_path / "ex")])
+    assert len(written) == 24
+    assert (tmp_path / "ex" / "train").is_dir()
+    import os as _os
+    name = _os.path.basename(written[0])
+    assert name.split("_", 1)[1].split(".")[0] in CA.CIFAR_LABELS
+    # soft targets: uniform-ish ensemble csv over the 16 train rows
+    rng = np.random.default_rng(1)
+    soft = rng.dirichlet(np.ones(10), 16).astype(np.float32)
+    csv = tmp_path / "ensemble.csv"
+    np.savetxt(csv, soft, delimiter=",")
+    cfg = tmp_path / "c.cfg"
+    cfg.write_text(CIFAR_CFG)
+    losses = CA.train_cifar_distill(
+        str(cfg), None, ["-data", data, "-csv", str(csv),
+                         "-backup", str(tmp_path / "bk")])
+    assert len(losses) == 6 and np.all(np.isfinite(losses))
+    assert (tmp_path / "bk" / "c.weights").exists()
