@@ -67,6 +67,9 @@ class CharRNNSampler:
         self.spec = spec
         self.params = jax.tree.map(jnp.asarray, params)
         self._step = jax.jit(self._step_impl)
+        # vec mode wants the FIRST layer's activations (rnn.c:458-466);
+        # a separate jit so the plain step DCEs the extra output
+        self._step0 = jax.jit(self._step0_impl)
 
     def init_state(self):
         states = []
@@ -78,7 +81,15 @@ class CharRNNSampler:
         return states
 
     def _step_impl(self, params, x, states):
+        cur, new_states, _ = self._forward(params, x, states)
+        return cur, new_states
+
+    def _step0_impl(self, params, x, states):
+        return self._forward(params, x, states)
+
+    def _forward(self, params, x, states):
         si = 0
+        first_out = None
         new_states = list(states)
         cur = x
         for i, l in enumerate(self.spec.layers):
@@ -103,7 +114,9 @@ class CharRNNSampler:
             else:
                 raise NotImplementedError(
                     f"char-rnn sampler: layer {l.kind}")
-        return cur, new_states
+            if i == 0:
+                first_out = cur
+        return cur, new_states, first_out
 
     def generate(self, seed_text: bytes, length: int,
                  temperature: float = 0.7, rng_seed: int = 0) -> bytes:
@@ -213,6 +226,130 @@ def validate_rnn(cfg: str, weights: str, text_file: str,
     return -mean_ll
 
 
+def _feed(sampler, states, data: bytes):
+    """Feed chars through the stateful sampler; return (probs, states)
+    after the last char."""
+    probs = None
+    for ch in data:
+        x = np.zeros((1, VOCAB), np.float32)
+        x[0, ch] = 1.0
+        probs, states = sampler._step(sampler.params, jnp.asarray(x),
+                                      states)
+    return probs, states
+
+
+def valid_tactic_rnn(cfg: str, weights: str, text_file: str,
+                     argv: list[str], out=None):
+    """valid_tactic_rnn (rnn.c:327-377): perplexity over only the
+    in-tactic spans — scoring turns on after a '>>' marker, off after
+    '.\\n'; words = number of '>>' markers."""
+    import math
+    out = out or sys.stdout
+    spec = S.parse_network_cfg(cfg)
+    params, _ = load_weights(spec, weights) if weights else \
+        (init_params(spec), 0)
+    sampler = CharRNNSampler(spec, params)
+    seed = find_value(argv, "-seed", "").encode("latin-1")
+    with open(text_file, "rb") as f:
+        text = f.read()
+    states = sampler.init_state()
+    _, states = _feed(sampler, states, seed)
+    total = 0.0
+    count = 0
+    words = 1
+    in_tactic = 0
+    log2 = math.log(2)
+    last = None
+    for i in range(len(text) - 1):
+        c, nxt = text[i], text[i + 1]
+        x = np.zeros((1, VOCAB), np.float32)
+        x[0, c] = 1.0
+        probs, states = sampler._step(sampler.params, jnp.asarray(x),
+                                      states)
+        if c == ord(".") and nxt == ord("\n"):
+            in_tactic = 0
+        if not in_tactic:
+            if c == ord(">") and nxt == ord(">"):
+                in_tactic = 1
+                words += 1
+            continue
+        count += 1
+        p = float(np.asarray(probs)[0][nxt])
+        total += math.log(max(p, 1e-12)) / log2
+        last = (2 ** (-total / count), 2 ** (-total / words))
+        out.write(f"{count} {words} Perplexity: {last[0]:4.4f}    "
+                  f"Word Perplexity: {last[1]:4.4f}\n")
+    return last
+
+
+def vec_char_rnn(cfg: str, weights: str, argv: list[str],
+                 lines=None, out=None):
+    """vec_char_rnn (rnn.c:420-466): per input line, reset the state,
+    feed seed + line + ' ', and print 'line,<first layer's output>' —
+    the RNN's sentence embedding."""
+    out = out or sys.stdout
+    spec = S.parse_network_cfg(cfg)
+    params, _ = load_weights(spec, weights) if weights else \
+        (init_params(spec), 0)
+    sampler = CharRNNSampler(spec, params)
+    seed = find_value(argv, "-seed", "").encode("latin-1")
+    if lines is None:
+        lines = (l.rstrip("\n") for l in sys.stdin)
+    vecs = []
+    for line in lines:
+        states = sampler.init_state()
+        _, states = _feed(sampler, states, seed)
+        _, states = _feed(sampler, states, line.encode("latin-1"))
+        x = np.zeros((1, VOCAB), np.float32)
+        x[0, ord(" ")] = 1.0
+        _, states, first = sampler._step0(sampler.params,
+                                          jnp.asarray(x), states)
+        v = np.asarray(first).reshape(-1)
+        out.write(line + "".join(f",{f:g}" for f in v) + "\n")
+        vecs.append(v)
+    return vecs
+
+
+def generate_tactic_rnn(cfg: str, weights: str, argv: list[str],
+                        prime: bytes | None = None, out=None):
+    """test_tactic_rnn (rnn.c:282-325): prime the state with the whole
+    input stream, then sample until num chars or a '.\\n' boundary;
+    probabilities below 1e-4 are zeroed before sampling."""
+    out = out or sys.stdout
+    spec = S.parse_network_cfg(cfg)
+    params, _ = load_weights(spec, weights) if weights else \
+        (init_params(spec), 0)
+    num = find_value(argv, "-len", 100, int)
+    temp = find_value(argv, "-temp", 0.7, float)
+    rseed = find_value(argv, "-srand", 0, int)
+    sampler = CharRNNSampler(spec, params)
+    rng = np.random.default_rng(rseed)
+    if prime is None:
+        prime = sys.stdin.buffer.read()
+    states = sampler.init_state()
+    probs, states = _feed(sampler, states, prime)
+    c = prime[-1] if prime else 0
+    text = bytearray()
+    for _ in range(num):
+        p = np.asarray(probs)[0].astype(np.float64)
+        if temp != 1.0:
+            logp = np.log(np.maximum(p, 1e-12)) / temp
+            p = np.exp(logp - logp.max())
+        p[p < 1e-4] = 0.0           # rnn.c:311 out[j]<.0001 -> 0
+        p /= p.sum()
+        nxt = int(rng.choice(VOCAB, p=p))
+        if c == ord(".") and nxt == ord("\n"):
+            break
+        c = nxt
+        text.append(c)
+        x = np.zeros((1, VOCAB), np.float32)
+        x[0, c] = 1.0
+        probs, states = sampler._step(sampler.params, jnp.asarray(x),
+                                      states)
+    out.write(text.decode("latin-1") + "\n")
+    return bytes(text)
+
+
 def run_char_rnn(argv: list[str]):
     sub = argv.pop(0)
     if sub == "train":
@@ -221,6 +358,20 @@ def run_char_rnn(argv: list[str]):
     if sub == "generate":
         return generate_rnn(argv[0],
                             argv[1] if len(argv) > 1 else None, argv[2:])
+    if sub == "generatetactic":
+        return generate_tactic_rnn(
+            argv[0], argv[1] if len(argv) > 1
+            and not argv[1].startswith("-") else None,
+            argv[2:] if len(argv) > 1
+            and not argv[1].startswith("-") else argv[1:])
     if sub == "valid":
         return validate_rnn(argv[0], argv[1], argv[2], argv[3:])
+    if sub == "validtactic":
+        return valid_tactic_rnn(argv[0], argv[1], argv[2], argv[3:])
+    if sub == "vec":
+        return vec_char_rnn(
+            argv[0], argv[1] if len(argv) > 1
+            and not argv[1].startswith("-") else None,
+            argv[2:] if len(argv) > 1
+            and not argv[1].startswith("-") else argv[1:])
     raise SystemExit(f"unknown rnn subcommand {sub}")

@@ -446,3 +446,60 @@ def test_lr_policies_traced_vs_host():
             # traced math is float32; host is float64
             assert abs(traced - host) < 1e-4 * max(host, 1e-9) + 1e-7, (
                 net.policy, bn, traced, host)
+
+
+def _rnn_cfg_file(tmp_path, hidden=32):
+    from sr_object_detection_tpu.models.zoo import CfgBuilder
+    b = CfgBuilder()
+    b.net(subdivisions=1, inputs=256, batch=2, momentum=0.9,
+          decay=0.001, time_steps=4, learning_rate=0.1,
+          policy="constant", max_batches=10)
+    b.section("rnn", batch_normalize=1, output=hidden, hidden=hidden,
+              activation="leaky")
+    b.section("connected", output=256, activation="leaky")
+    b.section("softmax")
+    b.section("cost", type="sse")
+    p = tmp_path / "rnn.cfg"
+    p.write_text(b.text())
+    return str(p)
+
+
+def test_vec_char_rnn(tmp_path):
+    """vec mode (rnn.c:420-466): per line, state reset + seed + line +
+    ' ' -> first layer's activations as a CSV row."""
+    import io
+    from sr_object_detection_tpu.apps.rnn_app import vec_char_rnn
+    cfg = _rnn_cfg_file(tmp_path)
+    out = io.StringIO()
+    vecs = vec_char_rnn(cfg, None, ["-seed", "x"],
+                        lines=["hello", "world", "hello"], out=out)
+    assert len(vecs) == 3 and vecs[0].shape == (32,)
+    # state is reset per line: identical lines embed identically
+    np.testing.assert_allclose(vecs[0], vecs[2], rtol=1e-6)
+    assert not np.allclose(vecs[0], vecs[1])
+    rows = out.getvalue().strip().splitlines()
+    assert rows[0].startswith("hello,") and len(rows) == 3
+
+
+def test_valid_and_generate_tactic_rnn(tmp_path):
+    """validtactic (rnn.c:327): perplexity only inside '>>'-gated
+    spans; generatetactic (rnn.c:282): stream-primed sampling stopping
+    at '.\\n'."""
+    import io
+    from sr_object_detection_tpu.apps.rnn_app import (
+        valid_tactic_rnn, generate_tactic_rnn)
+    cfg = _rnn_cfg_file(tmp_path)
+    txt = tmp_path / "tactics.txt"
+    txt.write_text("preamble >>e4 e5.\nmore >>d4 d5.\n")
+    out = io.StringIO()
+    last = valid_tactic_rnn(cfg, None, str(txt), [], out=out)
+    assert last is not None and last[0] > 0
+    body = out.getvalue()
+    assert "Word Perplexity" in body
+    # counted only in-tactic chars: words == 3 (1 + two '>>')
+    assert body.strip().splitlines()[-1].split()[1] == "3"
+    out2 = io.StringIO()
+    text = generate_tactic_rnn(cfg, None, ["-len", "20"],
+                               prime=b">>e4 ", out=out2)
+    assert len(text) <= 20
+    assert out2.getvalue().endswith("\n")
