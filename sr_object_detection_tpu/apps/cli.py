@@ -264,6 +264,20 @@ def cmd_captcha(argv):
         w = argv[2] if len(argv) > 2 and not argv[2].startswith("-") \
             else None
         return train_captcha(argv[1], w, argv[3:] if w else argv[2:])
+    if argv and argv[0] == "test":
+        # test_captcha (captcha.c:98): cfg [weights] <image> — two
+        # positionals after cfg mean (weights, image), one means image
+        from .misc_train import test_captcha
+        rest = argv[1:]
+        cfg = rest.pop(0)
+        pos = [a for a in rest[:2] if not a.startswith("-")]
+        w = rest.pop(0) if len(pos) == 2 else None
+        return test_captcha(cfg, w, rest.pop(0), rest)
+    if argv and argv[0] == "valid":
+        from .misc_train import valid_captcha
+        w = argv[2] if len(argv) > 2 and not argv[2].startswith("-") \
+            else None
+        return valid_captcha(argv[1], w, argv[3:] if w else argv[2:])
     from .misc_apps import captcha
     return captcha(argv[0], argv[1], argv[2])
 
@@ -349,6 +363,13 @@ def cmd_vid(argv):
         w = argv[2] if len(argv) > 2 and not argv[2].startswith("-") \
             else None
         return train_vid_rnn(argv[1], w, argv[3:] if w else argv[2:])
+    if argv and argv[0] == "generate":
+        # generate_vid_rnn (rnn_vid.c:154-198)
+        from .misc_apps import generate_vid_rnn
+        w = argv[2] if len(argv) > 2 and not argv[2].startswith("-") \
+            else None
+        return generate_vid_rnn(argv[1], w,
+                                argv[3:] if w else argv[2:])
     from .misc_apps import VideoRNN
     from ..robot.frame_source import ImageDirectorySource
     cfg = argv[0]
@@ -389,6 +410,18 @@ def cmd_dice(argv):
 
 
 def cmd_voxel(argv):
+    if argv and argv[0] == "train":
+        # train_voxel (voxel.c:51) == train_super over SUPER_DATA
+        from .misc_train import train_voxel
+        w = argv[2] if len(argv) > 2 and not argv[2].startswith("-") \
+            else None
+        return train_voxel(argv[1], w, argv[3:] if w else argv[2:])
+    if argv and argv[0] == "extract":
+        # extract_voxel (voxel.c:15): <left> <right> <prefix>
+        from .misc_apps import extract_voxel
+        return extract_voxel(argv[1], argv[2], argv[3], argv[4:])
+    if argv and argv[0] == "test":
+        argv = argv[1:]
     from .misc_apps import voxel
     out = find_value(argv, "-out", ".")
     return voxel(argv[0], argv[1], argv[2], out_dir=out)
@@ -424,6 +457,14 @@ def cmd_cifar(argv):
 
 
 def cmd_super(argv):
+    if argv and argv[0] == "train":
+        # train_super (super.c:10): SUPER_DATA random-crop pairs
+        from .misc_train import train_super
+        w = argv[2] if len(argv) > 2 and not argv[2].startswith("-") \
+            else None
+        return train_super(argv[1], w, argv[3:] if w else argv[2:])
+    if argv and argv[0] == "test":
+        argv = argv[1:]
     from .super_app import run_super
     return run_super(argv)
 

@@ -333,3 +333,201 @@ def imtest(image_path: str, out_dir: str = "."):
         outs.append(p)
     print(f"wrote {len(outs)} variants")
     return outs
+
+
+# ---------------------------------------------------------------------
+# voxel extract + vid-rnn generate
+# ---------------------------------------------------------------------
+
+def _dist_array(a: np.ndarray, b: np.ndarray, sub: int = 10) -> float:
+    """dist_array (utils.c): strided L2 distance."""
+    af, bf = a.reshape(-1)[::sub], b.reshape(-1)[::sub]
+    return float(np.sqrt(np.sum((af - bf) ** 2)))
+
+
+def best_3d_shift_r(a: np.ndarray, b: np.ndarray, mn: int, mx: int,
+                    sub: int = 10) -> int:
+    """best_3d_shift_r (image.c:1534-1546): binary search for the
+    vertical shift of b minimizing the strided L2 to a; crop_image's
+    edge replication supplies the out-of-range rows."""
+    from ..ops.image import crop_image_np
+    h, w = a.shape[:2]
+    while mn != mx:
+        mid = int(np.floor((mn + mx) / 2.0))
+        c1 = crop_image_np(b, 0, mid, w, h)
+        c2 = crop_image_np(b, 0, mid + 1, w, h)
+        if _dist_array(c1, a, sub) < _dist_array(c2, a, sub):
+            mx = mid
+        else:
+            mn = mid + 1
+    return mn
+
+
+def _frame_iter(src_path: str):
+    """Frames from a video file, a directory, or a glob."""
+    import os
+    from ..robot.frame_source import (ImageDirectorySource,
+                                      VideoFileSource)
+    if os.path.isdir(src_path):
+        src = ImageDirectorySource(os.path.join(src_path, "*"))
+    elif any(ch in src_path for ch in "*?["):
+        src = ImageDirectorySource(src_path)
+    else:
+        src = VideoFileSource(src_path)
+    while True:
+        f = src.next()
+        if f is None:
+            return
+        yield f.color.astype(np.float32) / 255.0
+
+
+def extract_voxel(lfile: str, rfile: str, prefix: str, argv=()):
+    """extract_voxel (voxel.c:15-49): walk a stereo pair of streams,
+    re-estimate the vertical alignment shift every 100 frames
+    (best_3d_shift_r over ±h/100), crop the left eye centered and the
+    right eye at the fixed 105px horizontal disparity + shift, save
+    pairs as <prefix>_<n>_l/r."""
+    from ..ops.image import crop_image_np
+    from .cli import find_value
+    from .nightmare_app import _save_ppm
+    argv = list(argv)
+    w = find_value(argv, "-w", 1920, int)
+    h = find_value(argv, "-h", 1080, int)
+    xoff = find_value(argv, "-xoff", 105, int)
+    shift = 0
+    count = 0
+    written = []
+    for l, r in zip(_frame_iter(lfile), _frame_iter(rfile)):
+        if count % 100 == 0:
+            rng_ = max(l.shape[0] // 100, 1)
+            shift = best_3d_shift_r(l, r, -rng_, rng_)
+            print(shift)
+        ls = crop_image_np(l, (l.shape[1] - w) // 2,
+                           (l.shape[0] - h) // 2, w, h)
+        rs = crop_image_np(r, xoff + (r.shape[1] - w) // 2,
+                           (r.shape[0] - h) // 2 + shift, w, h)
+        _save_ppm(f"{prefix}_{count:05d}_l.ppm", ls)
+        _save_ppm(f"{prefix}_{count:05d}_r.ppm", rs)
+        written += [f"{prefix}_{count:05d}_l.ppm",
+                    f"{prefix}_{count:05d}_r.ppm"]
+        count += 1
+    print(f"extracted {count} stereo pairs")
+    return written
+
+
+def make_reconstructor(spec, smooth_size: int = 2):
+    """reconstruct_picture's update rule (nightmare.c:117-178) as one
+    jitted step: delta = -d/dx 0.5||f(x)-feat||^2, update += delta +
+    lambda * sum_window(recon[q]-recon[p]) (the reference's `smooth`,
+    exact at the borders via a validity-count window), then
+    recon += rate*update; update *= momentum; clip to [0,1]."""
+    fwd = build_forward(spec)
+
+    def objective(params, x, feat):
+        out = fwd(params, x)[0]
+        return 0.5 * jnp.sum(jnp.square(out.reshape(-1) - feat))
+
+    grad = jax.grad(objective, argnums=1)
+    win = 2 * smooth_size + 1
+
+    def step(params, feat, recon, update, rate, momentum, lam):
+        delta = -grad(params, recon, feat)
+        r = recon[0]
+        import jax.lax as lax
+        sums = lax.reduce_window(r, 0.0, lax.add, (win, win, 1),
+                                 (1, 1, 1), "SAME")
+        cnt = lax.reduce_window(jnp.ones_like(r), 0.0, lax.add,
+                                (win, win, 1), (1, 1, 1), "SAME")
+        update = update + delta + lam * (sums - cnt * r)[None]
+        recon = jnp.clip(recon + rate * update, 0.0, 1.0)
+        return recon, momentum * update
+
+    return jax.jit(step)
+
+
+def reconstruct_picture(spec, params, feat, recon, *, rate=0.01,
+                        momentum=0.9, lam=0.1, smooth_size=2,
+                        iters=50, _cache={}):
+    key = (id(spec), smooth_size, recon.shape)
+    if key not in _cache:
+        _cache[key] = make_reconstructor(spec, smooth_size)
+    step = _cache[key]
+    update = jnp.zeros_like(recon)
+    feat = jnp.asarray(np.asarray(feat).reshape(-1))
+    recon = jnp.asarray(recon)
+    for _ in range(iters):
+        recon, update = step(params, feat, recon, update, rate,
+                             momentum, lam)
+    return np.asarray(recon)
+
+
+def generate_vid_rnn(cfg: str, weights, argv, out_dir: str = "."):
+    """generate_vid_rnn (rnn_vid.c:154-198): prime the feature-RNN with
+    extractor features of N real frames (reconstructing 'feat'/'next'
+    images from feature space each step), then free-run M steps,
+    reconstructing each predicted feature starting from the previous
+    reconstruction ('new%d')."""
+    import os
+    from .cli import find_value
+    from .rnn_app import CharRNNSampler
+    from ..graph.spec import parse_network_cfg as _parse
+    from ..io.weights import init_params
+    from .nightmare_app import _save_ppm
+
+    argv = list(argv)
+    ext_cfg = find_value(argv, "-extractor", None)
+    if ext_cfg is None:
+        raise SystemExit("vid-rnn generate needs -extractor <cfg> "
+                         "(rnn_vid.c:156 parses cfg/extractor.recon.cfg)")
+    ext_weights = find_value(argv, "-extractor-weights", None)
+    frames_src = find_value(argv, "-frames", "frames")
+    n_prime = find_value(argv, "-n", 25, int)
+    n_gen = find_value(argv, "-gen", 30, int)
+    recon_iters = find_value(argv, "-recon-iters", 50, int)
+    out_dir = find_value(argv, "-out", out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    ext_spec = _parse(ext_cfg)
+    ext_params, _ = load_weights(ext_spec, ext_weights) \
+        if ext_weights else (init_params(ext_spec), 0)
+    ext_params = jax.tree.map(jnp.asarray, ext_params)
+    ext_fwd = jax.jit(lambda p, x: build_forward(ext_spec)(p, x)[0])
+
+    spec = _parse(cfg)
+    params, _ = load_weights(spec, weights) if weights else \
+        (init_params(spec), 0)
+    sampler = CharRNNSampler(spec, params)
+    states = sampler.init_state()
+
+    rng = np.random.default_rng(0)
+    w, h = ext_spec.net.w, ext_spec.net.h
+
+    def recon_from(feat, init, name, i):
+        start = init[None] if init is not None else \
+            rng.random((1, h, w, 3), np.float32)
+        img = reconstruct_picture(ext_spec, ext_params, feat,
+                                  start.astype(np.float32),
+                                  iters=recon_iters)[0]
+        _save_ppm(os.path.join(out_dir, f"{name}{i}.ppm"), img)
+        return img
+
+    last = None
+    nxt = None
+    from ..ops.image import resize_image_np
+    for i, frame in enumerate(_frame_iter(frames_src)):
+        if i >= n_prime:
+            break
+        re = resize_image_np(frame, w, h)
+        feat = np.asarray(ext_fwd(ext_params, jnp.asarray(re[None])))
+        nxt, states = sampler._step(sampler.params,
+                                    jnp.asarray(feat.reshape(1, -1)),
+                                    states)
+        recon_from(feat, None, "feat", i)
+        recon_from(np.asarray(nxt), None, "next", i)
+        last = re
+    outs = []
+    for i in range(n_gen):
+        nxt, states = sampler._step(sampler.params, nxt, states)
+        last = recon_from(np.asarray(nxt), last, "new", i)
+        outs.append(last)
+    return outs

@@ -450,8 +450,123 @@ def validate_dice(cfg: str, weights, argv):
     return acc1, acc2
 
 
+# ---------------------------------------------------------------------
+# super / voxel
+# ---------------------------------------------------------------------
+
+def train_super(cfg: str, weights, argv, *, max_batches=None):
+    """train_super (super.c:10-106); train_voxel (voxel.c:51-117) is a
+    byte-identical copy of it in the reference, so both CLI commands
+    dispatch here. SUPER_DATA pairs (load_data_super, data.c:840-868):
+    y = a random (w*scale, h*scale) crop (flip-augmented), x = its
+    bilinear downsample to the net input; truth is the darknet CHW
+    raster of the crop."""
+    from ..ops.image import load_image_rgb, resize_image_np, \
+        crop_image_np
+    argv = list(argv)
+    list_path = find_value(argv, "-list", "data/super.list")
+    scale = find_value(argv, "-scale", 4, int)
+    spec, trainer = _make_trainer(cfg, weights, argv)
+    w, h = spec.net.w, spec.net.h
+    paths = _read_list(list_path)
+    rng = np.random.default_rng(0)
+
+    def next_batch(n):
+        xs, ys = [], []
+        for _ in range(n):
+            im = load_image_rgb(paths[int(rng.integers(0, len(paths)))])
+            cw, ch = w * scale, h * scale
+            dx = int(rng.integers(0, max(im.shape[1] - cw, 0) + 1))
+            dy = int(rng.integers(0, max(im.shape[0] - ch, 0) + 1))
+            crop = crop_image_np(im, dx, dy, cw, ch)
+            if rng.integers(0, 2):
+                crop = crop[:, ::-1, :]
+            xs.append(resize_image_np(crop, w, h))
+            ys.append(np.transpose(crop, (2, 0, 1)).reshape(-1))
+        return np.stack(xs), np.stack(ys)
+
+    return _train_loop(spec, trainer, next_batch, argv, cfg,
+                       max_batches=max_batches)
+
+
+train_voxel = train_super
+
+
+# ---------------------------------------------------------------------
+# captcha test / valid
+# ---------------------------------------------------------------------
+
+def test_captcha(cfg: str, weights, image: str, argv, out=None):
+    """test_captcha (captcha.c:98-136): stretch-resize, forward, print
+    EVERY label sorted by score as 'name prob, name prob, ...'."""
+    import sys
+    import jax
+    import jax.numpy as jnp
+    from ..graph.compiler import build_forward
+    out = out or sys.stdout
+    labels_path = find_value(argv, "-labels", "reimgs.labels.list")
+    names = _read_list(labels_path)
+    spec = parse_network_cfg(cfg)
+    params, _ = load_weights(spec, weights) if weights else (None, 0)
+    if params is None:
+        from ..io.weights import init_params
+        params = init_params(spec)
+    params = jax.tree.map(jnp.asarray, params)
+    fwd = jax.jit(lambda p, x: build_forward(spec)(p, x)[0])
+    x = _load_resized(image, spec.net.w, spec.net.h)[None]
+    pred = np.asarray(fwd(params, jnp.asarray(x))).reshape(-1)
+    order = np.argsort(-pred[:len(names)])
+    out.write(", ".join(f"{names[i]} {pred[i]:f}" for i in order)
+              + "\n")
+    return pred
+
+
+def valid_captcha(cfg: str, weights, argv, out=None):
+    """valid_captcha (captcha.c:138-177): per list path print
+    'truth, p0, p1, ...' where truth is the LAST label whose name is a
+    substring of the path (the reference scan does not break). The
+    per-image batch-1 forwards become chunked batched dispatches."""
+    import sys
+    import jax
+    import jax.numpy as jnp
+    from ..graph.compiler import build_forward
+    out = out or sys.stdout
+    list_path = find_value(argv, "-list", "reimgs.fg.list")
+    labels_path = find_value(argv, "-labels", "reimgs.labels.list")
+    batch = find_value(argv, "-batch", 64, int)
+    names = _read_list(labels_path)
+    spec = parse_network_cfg(cfg)
+    params, _ = load_weights(spec, weights) if weights else (None, 0)
+    if params is None:
+        from ..io.weights import init_params
+        params = init_params(spec)
+    params = jax.tree.map(jnp.asarray, params)
+    fwd = jax.jit(lambda p, x: build_forward(spec)(p, x)[0])
+    paths = _read_list(list_path)
+    rows = []
+    for off in range(0, len(paths), batch):
+        chunk = paths[off:off + batch]
+        x = np.stack([_load_resized(p, spec.net.w, spec.net.h)
+                      for p in chunk])
+        pred = np.asarray(fwd(params, jnp.asarray(x)))
+        pred = pred.reshape(len(chunk), -1)
+        for p, row in zip(chunk, pred):
+            truth = -1
+            for j, lab in enumerate(names):
+                if lab in p:
+                    truth = j
+            if truth == -1:
+                print(f"bad: {p}", file=sys.stderr)
+                return rows
+            out.write(f"{truth}, "
+                      + ", ".join(f"{v:f}" for v in row) + "\n")
+            rows.append((truth, row))
+    return rows
+
+
 __all__ = ["train_captcha", "train_tag", "train_writing",
            "train_compare", "train_vid_rnn", "train_dice",
-           "validate_dice", "fix_data_captcha",
+           "validate_dice", "train_super", "train_voxel",
+           "test_captcha", "valid_captcha", "fix_data_captcha",
            "load_tags", "load_compare_labels", "FrameDirVideos",
            "DICE_LABELS"]

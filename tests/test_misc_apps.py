@@ -119,3 +119,103 @@ def test_yolo_v1_training_loop(tmp_path):
     trainer = run_yolo_v1(str(tmp_path / "v1.data"), str(cfg), None, [],
                           classes=3)
     assert int(trainer.state.seen) == 3 * 2
+
+
+def test_best_3d_shift_and_extract_voxel(tmp_path):
+    """extract_voxel (voxel.c:15-49): stereo stream alignment by
+    binary-search vertical shift + fixed-disparity crops."""
+    from sr_object_detection_tpu.apps.misc_apps import (
+        best_3d_shift_r, extract_voxel)
+    # smooth vertical gradient: the reference's binary search assumes
+    # distance is unimodal in the shift (true for natural images)
+    g = np.linspace(0, 1, 60, dtype=np.float32)[:, None, None]
+    base = np.broadcast_to(g, (60, 40, 3)).copy()
+    base += np.linspace(0, .2, 40, dtype=np.float32)[None, :, None]
+    base = np.clip(base, 0, 1)
+    shift_true = 3
+    right = np.roll(base, shift_true, axis=0)
+    # b shifted DOWN by 3 -> crop of b at dy=+3 matches a
+    s = best_3d_shift_r(base, right, -6, 6)
+    assert s == shift_true
+    ld = tmp_path / "l"
+    rd = tmp_path / "r"
+    ld.mkdir(), rd.mkdir()
+    from tools.synth_dataset import write_ppm
+    for i in range(3):
+        write_ppm(str(ld / f"f{i}.ppm"),
+                  (base * 255).astype(np.uint8))
+        write_ppm(str(rd / f"f{i}.ppm"),
+                  (right * 255).astype(np.uint8))
+    out = extract_voxel(str(ld), str(rd),
+                        str(tmp_path / "vox"),
+                        ["-w", "20", "-h", "30", "-xoff", "4"])
+    assert len(out) == 6
+    import os
+    assert all(os.path.exists(p) for p in out)
+    # aligned crops: the shifted right crop matches the left crop
+    from sr_object_detection_tpu.ops.image import load_image_rgb
+    l0 = load_image_rgb(out[0])
+    r0 = load_image_rgb(out[1])
+    assert l0.shape == r0.shape == (30, 20, 3)
+
+
+def test_generate_vid_rnn(tmp_path):
+    """generate_vid_rnn (rnn_vid.c:154-198): extractor-primed feature
+    RNN free-run with feature-space image reconstruction."""
+    from sr_object_detection_tpu.apps.misc_apps import generate_vid_rnn
+    from tools.synth_dataset import write_ppm
+    rng = np.random.default_rng(1)
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for i in range(4):
+        write_ppm(str(frames / f"f{i}.ppm"),
+                  rng.integers(0, 255, (12, 12, 3)).astype(np.uint8))
+    ext_cfg = tmp_path / "ext.cfg"
+    ext_cfg.write_text("""[net]
+batch=1
+height=12
+width=12
+channels=3
+learning_rate=0.01
+momentum=0.9
+decay=0.0001
+
+[convolutional]
+filters=4
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[connected]
+output=16
+activation=logistic
+""")
+    rnn_cfg = tmp_path / "vrnn.cfg"
+    rnn_cfg.write_text("""[net]
+batch=1
+inputs=16
+time_steps=1
+learning_rate=0.01
+momentum=0.9
+decay=0.0001
+
+[rnn]
+output=16
+hidden=8
+activation=leaky
+batch_normalize=1
+""")
+    outs = generate_vid_rnn(
+        str(rnn_cfg), None,
+        ["-extractor", str(ext_cfg), "-frames",
+         str(frames / "*.ppm"), "-n", "2", "-gen", "2",
+         "-recon-iters", "3", "-out", str(tmp_path / "gen")])
+    assert len(outs) == 2
+    import os
+    names = sorted(os.listdir(tmp_path / "gen"))
+    # 2 primes x (feat,next) + 2 generated
+    assert names == ["feat0.ppm", "feat1.ppm", "new0.ppm", "new1.ppm",
+                     "next0.ppm", "next1.ppm"]
+    assert all(o.shape == (12, 12, 3) for o in outs)
+    assert all(np.isfinite(o).all() for o in outs)

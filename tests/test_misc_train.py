@@ -576,3 +576,102 @@ def test_try_classifier(tmp_path):
     text = out.getvalue().strip().splitlines()
     # 8 BN stat rows + 8*112*112 activations + 2 top-k lines
     assert len(text) == 8 + 8 * 112 * 112 + 2
+
+
+# ---------------------------------------------------------------------
+# super / voxel train, captcha test/valid
+# ---------------------------------------------------------------------
+
+SUPER_CFG = """\
+[net]
+batch=2
+subdivisions=1
+height=8
+width=8
+channels=3
+learning_rate=0.02
+momentum=0.9
+decay=0.0001
+policy=constant
+max_batches=20
+
+[convolutional]
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+batch_normalize=1
+
+[deconvolutional]
+filters=3
+size=2
+stride=2
+activation=logistic
+
+[cost]
+type=sse
+"""
+
+
+def test_train_super_and_voxel_alias(tmp_path):
+    """train_super (super.c:10) / train_voxel (voxel.c:51, identical):
+    y = random (w*scale, h*scale) crop, x = its downsample."""
+    rng = np.random.default_rng(5)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    paths = []
+    for k in range(6):
+        img = rng.uniform(0, 1, (24, 24, 3)).astype(np.float32)
+        p = d / f"im{k}.ppm"
+        _write_ppm(p, img)
+        paths.append(str(p))
+    lst = tmp_path / "super.list"
+    lst.write_text("\n".join(paths) + "\n")
+    cfg = _toy_cfg(tmp_path, "sup.cfg", SUPER_CFG)
+    losses = MT.train_super(cfg, None,
+                            ["-list", str(lst), "-scale", "2",
+                             "-backup", str(tmp_path / "bk")],
+                            max_batches=20)
+    assert np.all(np.isfinite(losses)) and len(losses) == 20
+    # learnable: output should approach the upscaled input
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert MT.train_voxel is MT.train_super
+
+
+def test_captcha_test_and_valid(tmp_path, capsys):
+    """test_captcha (captcha.c:98): all labels sorted by score;
+    valid_captcha (captcha.c:138): 'truth, preds...' rows with
+    last-substring-match truth (the reference scan does not break)."""
+    import io
+    names = ["aa", "bb", "cc", "dd"]
+    lst, paths = _image_set(tmp_path, names, n_per=2)
+    labels = tmp_path / "labels.list"
+    labels.write_text("\n".join(names) + "\n")
+    cfg = _toy_cfg(tmp_path, "cap.cfg", CLS_CFG.format(ch=3, out=4))
+    out = io.StringIO()
+    pred = MT.test_captcha(cfg, None, paths[0],
+                           ["-labels", str(labels)], out=out)
+    assert pred.shape[-1] == 4
+    line = out.getvalue().strip()
+    assert line.count(",") == 3
+    # sorted descending by score
+    scores = [float(t.split()[1]) for t in line.split(", ")]
+    assert scores == sorted(scores, reverse=True)
+    out2 = io.StringIO()
+    rows = MT.valid_captcha(cfg, None,
+                            ["-list", lst, "-labels", str(labels)],
+                            out=out2)
+    assert len(rows) == 8
+    truths = [t for t, _ in rows]
+    assert truths == [0, 0, 1, 1, 2, 2, 3, 3]
+    # last-match semantics: a path containing two labels picks the
+    # later label index
+    trick = tmp_path / "imgs" / "aa_bb_x.ppm"
+    _write_ppm(trick, np.full((16, 16, 3), .5))
+    lst2 = tmp_path / "trick.list"
+    lst2.write_text(str(trick) + "\n")
+    rows2 = MT.valid_captcha(cfg, None,
+                             ["-list", str(lst2),
+                              "-labels", str(labels)])
+    assert rows2[0][0] == 1
