@@ -427,18 +427,48 @@ def cmd_voxel(argv):
     return voxel(argv[0], argv[1], argv[2], out_dir=out)
 
 
-def cmd_yolo(argv):
-    """yolo.c / coco.c / swag.c: v1 train (other subcommands share the
-    detector pipeline)."""
+def _cmd_yolo_v1(argv, *, coco: bool):
+    """run_yolo (yolo.c:341-361) / run_coco (coco.c:368-389) /
+    run_swag (swag.c:90): v1 train/test/valid/recall/demo."""
     sub = argv.pop(0)
     from .misc_apps import run_yolo_v1
     if sub == "train":
         data_cfg, cfg = argv[0], argv[1]
         weights = argv[2] if len(argv) > 2 and not argv[2].startswith("-") \
             else None
-        return run_yolo_v1(data_cfg, cfg, weights, argv[3:])
-    raise SystemExit("yolo: only 'train' implemented; use 'detect'/"
-                     "'detector' for inference paths")
+        return run_yolo_v1(data_cfg, cfg, weights, argv[3:],
+                           classes=80 if coco else 20)
+    from . import yolo_v1_app as V1
+    names = None
+    if coco:
+        from ..config import read_names
+        nf = find_value(argv, "-names", None)
+        names = read_names(nf) if nf else [str(i) for i in range(80)]
+    cfg = argv.pop(0)
+    if sub == "test":
+        # two positionals after cfg = (weights, image); one = image
+        pos = [a for a in argv[:2] if not a.startswith("-")]
+        weights = argv.pop(0) if len(pos) == 2 else None
+        return V1.test_yolo_v1(cfg, weights, argv.pop(0), argv,
+                               names=names)
+    weights = argv.pop(0) if argv and not argv[0].startswith("-") \
+        else None
+    if sub == "valid":
+        return V1.validate_yolo_v1(cfg, weights, argv, names=names,
+                                   coco=coco)
+    if sub == "recall":
+        return V1.validate_yolo_v1_recall(cfg, weights, argv)
+    if sub == "demo":
+        return V1.demo_yolo_v1(cfg, weights, argv, names=names)
+    raise SystemExit(f"yolo/coco: unknown subcommand {sub}")
+
+
+def cmd_yolo(argv):
+    return _cmd_yolo_v1(argv, coco=False)
+
+
+def cmd_coco(argv):
+    return _cmd_yolo_v1(argv, coco=True)
 
 
 def cmd_robot(argv):
@@ -488,7 +518,7 @@ COMMANDS = {
     "dice": cmd_dice,
     "voxel": cmd_voxel,
     "yolo": cmd_yolo,
-    "coco": cmd_yolo,
+    "coco": cmd_coco,
     "swag": cmd_yolo,
     "art": cmd_art,
     "captcha": cmd_captcha,

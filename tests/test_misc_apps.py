@@ -219,3 +219,80 @@ batch_normalize=1
                      "next0.ppm", "next1.ppm"]
     assert all(o.shape == (12, 12, 3) for o in outs)
     assert all(np.isfinite(o).all() for o in outs)
+
+
+def _v1_setup(tmp_path, classes=3):
+    """Tiny v1 net + image list + labels for test/valid/recall/demo."""
+    import os
+    from sr_object_detection_tpu.models.zoo import CfgBuilder
+    rng = np.random.default_rng(2)
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    img_dir.mkdir(exist_ok=True)
+    lbl_dir.mkdir(exist_ok=True)
+    paths = []
+    for i in range(3):
+        arr = rng.random((40, 48, 3)).astype(np.float32)
+        p = img_dir / f"pic_{i:03d}.ppm"
+        with open(p, "wb") as f:
+            f.write(b"P6\n%d %d\n255\n" % (48, 40))
+            f.write((arr * 255).astype(np.uint8).tobytes())
+        (lbl_dir / f"pic_{i:03d}.txt").write_text("1 0.5 0.5 0.4 0.4\n")
+        paths.append(str(p))
+    lst = tmp_path / "test.list"
+    lst.write_text("\n".join(paths) + "\n")
+    b = CfgBuilder()
+    b.net(batch=1, width=32, height=32, channels=3,
+          learning_rate=0.001, policy="constant")
+    b.conv(8, size=3, stride=2)
+    b.conv(16, size=3, stride=4)
+    b.section("connected", output=3 * 3 * (2 * 5 + classes),
+              activation="linear")
+    b.section("detection", classes=classes, coords=4, side=3, num=2,
+              softmax=1, sqrt=1, rescore=1)
+    cfg = tmp_path / "v1.cfg"
+    cfg.write_text(b.text())
+    return str(cfg), str(lst), paths
+
+
+def test_v1_test_valid_recall_demo(tmp_path, capsys):
+    """yolo.c:116-339 / coco.c valid writers: the v1 inference modes."""
+    import os
+    from sr_object_detection_tpu.apps import yolo_v1_app as V1
+    cfg, lst, paths = _v1_setup(tmp_path)
+    names = ["a", "b", "c"]
+    # test: single image + drawn output
+    out_img = tmp_path / "pred.ppm"
+    dets = V1.test_yolo_v1(cfg, None, paths[0],
+                           ["-thresh", "0.0", "-out", str(out_img)],
+                           names=names)
+    assert os.path.exists(out_img)
+    # valid (VOC writer): per-class files with 6-field lines
+    V1.validate_yolo_v1(cfg, None,
+                        ["-list", lst, "-out", str(tmp_path / "res")],
+                        names=names)
+    f0 = tmp_path / "res" / "comp4_det_test_a.txt"
+    assert f0.exists()
+    lines = [l.split() for l in f0.read_text().strip().splitlines()]
+    assert all(len(l) == 6 for l in lines)
+    assert {l[0] for l in lines} <= {"pic_000", "pic_001", "pic_002"}
+    # valid (COCO json): records carry dataset category ids
+    V1.validate_yolo_v1(cfg, None,
+                        ["-list", lst, "-out", str(tmp_path / "resc")],
+                        names=names, coco=True)
+    import json
+    recs = json.loads((tmp_path / "resc" /
+                       "coco_results.json").read_text())
+    assert recs and all(r["category_id"] in V1.COCO_IDS[:3]
+                        for r in recs)
+    assert {r["image_id"] for r in recs} == {0, 1, 2}
+    # recall: objectness-channel proposals vs labels
+    capsys.readouterr()
+    r = V1.validate_yolo_v1_recall(cfg, None, ["-list", lst])
+    assert r["total"] == 3
+    assert "RPs/Img" in capsys.readouterr().out
+    # demo: streaming over the image dir
+    res = V1.demo_yolo_v1(cfg, None,
+                          ["-frames", str(tmp_path / "images" / "*.ppm"),
+                           "-thresh", "0.0"], names=names)
+    assert len(res) == 3 and res[-1]["fps"] > 0
