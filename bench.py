@@ -249,13 +249,15 @@ def main():
 
     try:
         from sr_object_detection_tpu.models.zoo import yolov2
-        # B=128 + remat: the remat recompute is cheaper than the 4x
-        # lane-padding the C=32 stem pays at sub-128 batch (measured
-        # 293/327/360 img/s at B=48/64/128-remat = 28/31/35% MFU);
-        # B=48 fits without remat since the bf16 BN core dropped the
-        # f32 x/x_hat residuals (round-2 profile work)
+        # B=128 + SELECTIVE remat: the remat recompute is cheaper than
+        # the 4x lane-padding the C=32 stem pays at sub-128 batch
+        # (293/327/360 img/s at B=48/64/128-full-remat); saving every
+        # activation <= (w/2)^2 by checkpoint_name and recomputing only
+        # the 608^2 conv1 output shaves the remaining remat tax:
+        # measured 382 (full) -> 398 img/s (selective:2), 38% MFU, and
+        # compile drops 115 -> 38 s (same-loss-pinned vs full remat)
         train_bench(lambda: yolov2(width=608, height=608),
-                    "yolov2-608", 128, iters=3, remat=True,
+                    "yolov2-608", 128, iters=3, remat="selective:2",
                     fast_init=True)
     except Exception as e:
         print(f"yolov2-608 training bench skipped: {e}", file=sys.stderr)

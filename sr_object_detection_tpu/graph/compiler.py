@@ -389,6 +389,15 @@ def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None,
             else:
                 raise NotImplementedError(f"layer {type(l).__name__}")
 
+            if train and isinstance(cur, jax.Array):
+                # stable names for selective rematerialization: the
+                # trainer's remat="selective" policy saves the deep
+                # (small-spatial) activations by these names and
+                # recomputes only the huge early ones
+                # (train/trainer.py make_train_step)
+                from jax.ad_checkpoint import checkpoint_name
+                cur = checkpoint_name(cur, f"layer{i}_out")
+
             if i in keep or keep_all or i == out_idx:
                 saved[i] = cur
 

@@ -103,11 +103,27 @@ def make_train_step(spec: S.NetworkSpec, *, mesh=None,
 
     if remat:
         # rematerialize activations in the backward pass (the analog of
-        # the reference's nothing: it simply OOMs) — trades ~30% step
-        # time for training resolutions/batches that exceed HBM
-        _fwd_for_loss = jax.checkpoint(
-            _fwd_for_loss,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        # the reference's nothing: it simply OOMs) — trades step time
+        # for training resolutions/batches that exceed HBM.
+        # remat="selective": save the deep small-spatial activations
+        # (out area <= (net.w/8)*(net.h/8), named in graph/compiler.py)
+        # and recompute only the huge C<128 early ones — the deep convs
+        # are the FLOP-dominant segment, so skipping their recompute
+        # keeps the memory win while shedding most of the remat tax.
+        if isinstance(remat, str) and remat.startswith("selective"):
+            # "selective" saves out areas <= (w/8)*(h/8);
+            # "selective:4" widens the saved set to (w/4)*(h/4) etc.
+            div = int(remat.split(":", 1)[1]) if ":" in remat else 8
+            cut = max((net.w // div) * (net.h // div), 1)
+            names = [f"layer{i}_out" for i, l in enumerate(spec.layers)
+                     if getattr(l, "out_w", 0)
+                     and l.out_w * l.out_h <= cut]
+            policy = jax.checkpoint_policies.save_only_these_names(
+                *names)
+        else:
+            policy = \
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        _fwd_for_loss = jax.checkpoint(_fwd_for_loss, policy=policy)
 
     def micro_loss(params, x, truth, seen, rng):
         out, aux = _fwd_for_loss(params, x, truth, rng)

@@ -216,3 +216,37 @@ def _tree_train_compare(name):
                 mine[i][k], ref, rtol=2e-4, atol=2e-4,
                 err_msg=f"tree_region: layer {i} ({l.kind}) param {k}")
     np.testing.assert_allclose(costs, g["costs"], rtol=1e-3)
+
+
+def test_remat_modes_loss_identical():
+    """remat=False / True / 'selective' / 'selective:2' are pure
+    scheduling choices: the train step's loss must be bit-identical
+    (graph/compiler.py checkpoint_name + trainer selective policy)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.models.zoo import tiny_yolo_voc
+    from sr_object_detection_tpu.io.weights import init_params
+    from sr_object_detection_tpu.train.trainer import (make_train_step,
+                                                       TrainState)
+    from sr_object_detection_tpu.train.sgd import init_velocity
+    base = tiny_yolo_voc(width=96, height=96)
+    spec = dataclasses.replace(
+        base, net=dataclasses.replace(base.net, batch=2, subdivisions=1))
+    x = jnp.asarray(np.random.RandomState(0).uniform(
+        0, 1, (2, 96, 96, 3)).astype(np.float32))
+    t = np.zeros((2, 30, 5), np.float32)
+    t[:, 0] = [.5, .5, .3, .3, 1]
+    t = jnp.asarray(t)
+    rng = jax.random.PRNGKey(0)
+    losses = {}
+    for mode in (False, True, "selective", "selective:2"):
+        params = jax.tree.map(jnp.asarray, init_params(spec, seed=0))
+        st = TrainState(params, init_velocity(params), jnp.asarray(0))
+        step = jax.jit(make_train_step(spec, compute_dtype=jnp.bfloat16,
+                                       remat=mode))
+        for _ in range(2):
+            st, m = step(st, x, t, rng)
+        losses[mode] = float(m["loss"])
+    vals = set(losses.values())
+    assert len(vals) == 1, losses
