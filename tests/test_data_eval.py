@@ -503,3 +503,49 @@ def test_valid_and_generate_tactic_rnn(tmp_path):
                                prime=b">>e4 ", out=out2)
     assert len(text) <= 20
     assert out2.getvalue().endswith("\n")
+
+
+# ------------------------------------------------------- sidecar prep
+
+
+def test_dataset_prep_imagenet_and_dice(tmp_path, monkeypatch):
+    """dice_label.sh / imagenet_label.sh analogs
+    (tools/dataset_prep.py)."""
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, str(tmp_path.parents[0]))
+    from tools import dataset_prep as DP
+    from tools.synth_dataset import write_ppm
+    # imagenet: xml <name> -> labelled symlink + list
+    xml = tmp_path / "val"
+    imgs = tmp_path / "imgs"
+    xml.mkdir(), imgs.mkdir()
+    for i, lab in enumerate(["n01", "n02"]):
+        (xml / f"v{i}.xml").write_text(
+            f"<annotation><object><name>{lab}</name></object>"
+            "</annotation>")
+        write_ppm(str(imgs / f"v{i}.JPEG"),
+                  np.zeros((4, 4, 3), np.uint8))
+    monkeypatch.chdir(tmp_path)
+    outs = DP.imagenet_label(str(xml), str(imgs),
+                             out_dir=str(tmp_path / "labelled"),
+                             list_path=str(tmp_path / "inet.val.list"))
+    assert len(outs) == 2
+    assert outs[0].endswith("v0.n01.JPEG")
+    assert (tmp_path / "inet.val.list").read_text().count("\n") == 2
+    # dice: frames from an animated container, center-crop, split
+    try:
+        from PIL import Image
+    except ImportError:
+        import pytest
+        pytest.skip("PIL needed for the gif video container")
+    rng = np.random.default_rng(0)
+    gif = tmp_path / "Face1.gif"
+    frames = [Image.fromarray(rng.integers(0, 255, (30, 40, 3))
+                              .astype(np.uint8)) for _ in range(4)]
+    frames[0].save(gif, save_all=True, append_images=frames[1:])
+    moved = DP.dice_label([str(gif)], out_dir=str(tmp_path / "images"),
+                          n_val=1, size=8)
+    assert len(moved["val"]) == 1 and len(moved["train"]) == 3
+    from sr_object_detection_tpu.ops.image import load_image_rgb
+    assert load_image_rgb(moved["train"][0]).shape == (8, 8, 3)
