@@ -170,20 +170,38 @@ def _run_pair(xf, wpk, bias, *, H, W, Cin, Cout):
     )(xf, wpk, bias, e0, e1)
 
 
-def pack_weights(w_hwio, dtype=jnp.bfloat16):
-    """HWIO (3,3,Cin,Cout) -> (Cout, 9*Cin), tap-major (dy,dx,ci)."""
+def _cpad16(c: int) -> int:
+    """Round a channel count up to the 16-sublane bf16 packed tile.
+    Tap-scratch stores at sublane offset t*Cin are tile-aligned only
+    when Cin is a multiple of 16 — padding conv1's Cin 3->16 cut the
+    kernel 38.9 -> 28.5 us/frame BUT the 5.3x-padded input paid it all
+    back in pad+copy prep (wall-neutral, PARITY.md), so build_stem does
+    NOT use this by default; kept for callers that already hold padded
+    inputs."""
+    return ((c + 15) // 16) * 16
+
+
+def pack_weights(w_hwio, dtype=jnp.bfloat16, cin_pad=None):
+    """HWIO (3,3,Cin,Cout) -> (Cout, 9*cin_pad), tap-major (dy,dx,ci);
+    channels zero-padded to cin_pad so the padded input lanes multiply
+    by zero."""
     k1, k2, cin, cout = w_hwio.shape
     assert (k1, k2) == (3, 3)
-    return jnp.asarray(w_hwio, dtype).reshape(9 * cin, cout).T
+    cp = cin_pad or cin
+    w = np.asarray(w_hwio, np.float32)
+    if cp != cin:
+        w = np.pad(w, ((0, 0), (0, 0), (0, cp - cin), (0, 0)))
+    return jnp.asarray(w, dtype).reshape(9 * cp, cout).T
 
 
-def to_flat(x_nhwc, W: int):
-    """(1,H,W,C) -> (C, (H+4)*Wp) flat bf16 with zero borders."""
+def to_flat(x_nhwc, W: int, cin_pad=None):
+    """(1,H,W,C) -> (cin_pad, (H+4)*Wp) flat bf16 with zero borders."""
     _, H, _, C = x_nhwc.shape
+    cp = cin_pad or C
     wp = _wp(W)
     xt = jnp.transpose(x_nhwc[0].astype(jnp.bfloat16), (2, 0, 1))
-    xp = jnp.pad(xt, ((0, 0), (1, _PAD_ROWS - 1), (1, wp - 1 - W)))
-    return xp.reshape(C, (H + _PAD_ROWS) * wp)
+    xp = jnp.pad(xt, ((0, cp - C), (1, _PAD_ROWS - 1), (1, wp - 1 - W)))
+    return xp.reshape(cp, (H + _PAD_ROWS) * wp)
 
 
 def from_flat(of, H2: int, W2: int):
@@ -256,6 +274,11 @@ def build_stem(spec: S.NetworkSpec, params):
     for ci, _pi in pairs:
         l = spec.layers[ci]
         p = params[ci]
+        # NOTE round-3 measured negative: padding Cin 3->16 for the
+        # first pair makes the tap-scratch stores tile-aligned (kernel
+        # 38.9 -> 28.5 us) but the 5.3x-padded input costs the same
+        # back in pad+copy prep (+25 us) — wall-neutral, so unpadded
+        # stays (PARITY.md batch-1 section).
         packed.append((
             pack_weights(p["weights"]),
             jnp.asarray(p["biases"], jnp.float32).reshape(-1, 1),
