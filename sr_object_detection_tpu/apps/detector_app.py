@@ -55,11 +55,15 @@ def train_detector(data_cfg: str, cfg: str, weights: str | None,
 
     max_batches = spec.net.max_batches or 10000
     outer = trainer.outer_batch
+    # -device-aug: host decodes only; crop/resize/flip/HSV run as ONE
+    # jitted batch program (data/device_aug.py — the host numpy
+    # pipeline is ~25 img/s/core at 416px vs 4.4k img/s on device)
+    device_aug = find_arg(argv, "-device-aug")
     loader = DetectionLoader(
         train_list, w=spec.net.w, h=spec.net.h, batch=outer,
         classes=classes, jitter=region.jitter,
         hue=spec.net.hue, saturation=spec.net.saturation,
-        exposure=spec.net.exposure)
+        exposure=spec.net.exposure, device_augment=device_aug)
 
     avg_loss = None
     dims = (spec.net.h, spec.net.w)

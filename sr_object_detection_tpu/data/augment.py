@@ -14,8 +14,12 @@ import numpy as np
 
 def crop_image(im: np.ndarray, dx: int, dy: int, w: int, h: int
                ) -> np.ndarray:
-    """Edge-clamped crop (image.c:1512-1535 reads clamped src pixels)."""
+    """Edge-clamped crop (image.c:1512-1535 reads clamped src pixels).
+    Fully in-bounds crops (the common jitter case) take a view-copy
+    slice; only border-crossing crops pay the clamped gather."""
     ih, iw, c = im.shape
+    if 0 <= dy and dy + h <= ih and 0 <= dx and dx + w <= iw:
+        return im[dy:dy + h, dx:dx + w].copy()
     ys = np.clip(np.arange(dy, dy + h), 0, ih - 1)
     xs = np.clip(np.arange(dx, dx + w), 0, iw - 1)
     return im[np.ix_(ys, xs)].copy()
@@ -55,10 +59,12 @@ def hsv_to_rgb(im: np.ndarray) -> np.ndarray:
     p = v * (1 - s)
     q = v * (1 - s * f)
     t = v * (1 - s * (1 - f))
-    idx = idx % 6
-    r = np.choose(idx, [v, q, p, p, t, v])
-    g = np.choose(idx, [t, v, v, q, p, p])
-    b = np.choose(idx, [p, p, t, v, v, q])
+    idx = (idx % 6)[None]
+    # same sextant table as image.c:1767-1793; np.choose computes the
+    # identical gather but is ~6x slower (per-candidate broadcasting)
+    r = np.take_along_axis(np.stack([v, q, p, p, t, v]), idx, 0)[0]
+    g = np.take_along_axis(np.stack([t, v, v, q, p, p]), idx, 0)[0]
+    b = np.take_along_axis(np.stack([p, p, t, v, v, q]), idx, 0)[0]
     gray = s == 0
     r = np.where(gray, v, r)
     g = np.where(gray, v, g)

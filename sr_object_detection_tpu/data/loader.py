@@ -110,7 +110,8 @@ class DetectionLoader:
                  batch: int, classes: int, boxes: int = 30,
                  jitter: float = 0.2, hue: float = 0.1,
                  saturation: float = 1.5, exposure: float = 1.5,
-                 augment: bool = True, seed: int = 0, workers: int = 8):
+                 augment: bool = True, seed: int = 0, workers: int = 8,
+                 device_augment: bool = False):
         if isinstance(list_file_or_paths, (str, pathlib.Path)):
             with open(list_file_or_paths) as f:
                 self.paths = [l.strip() for l in f if l.strip()]
@@ -127,6 +128,13 @@ class DetectionLoader:
         self.rng = np.random.default_rng(seed)
         self.pool = cf.ThreadPoolExecutor(max_workers=workers)
         self._pending: Optional[list] = None
+        # device_augment: the host only decodes (threads) and draws the
+        # aug params; crop/resize/flip/HSV run as ONE jitted batch
+        # program (data/device_aug.py) — the host numpy pipeline
+        # measures ~25 img/s/core at 416px, 100x below the training
+        # step, so per-image host augmentation is the input bound
+        self.device_augment = device_augment
+        self._augmenters: dict = {}
         self._submit()
 
     def set_dims(self, w: int, h: int):
@@ -137,6 +145,15 @@ class DetectionLoader:
     def _submit(self):
         picks = [self.paths[self.rng.integers(0, len(self.paths))]
                  for _ in range(self.batch)]
+        if self.device_augment:
+            from ..ops.image import load_image_u8
+
+            def _decode(p):
+                return load_image_u8(p), read_boxes(label_path_for(p))
+
+            self._pending = [self.pool.submit(_decode, p)
+                             for p in picks]
+            return
         seeds = self.rng.integers(0, 2**63, size=self.batch)
         w, h = self.w, self.h
         self._pending = [
@@ -151,9 +168,50 @@ class DetectionLoader:
         """Returns (x NHWC float32, truth (B,30,5)); prefetches the next."""
         results = [f.result() for f in self._pending]
         self._submit()
+        if self.device_augment:
+            return self._device_batch(results)
         x = np.stack([r[0] for r in results])
         t = np.stack([r[1] for r in results])
         return x, t
+
+    def _device_batch(self, results):
+        from . import device_aug as DA
+        key = (self.w, self.h)
+        if key not in self._augmenters:
+            self._augmenters[key] = DA.DeviceAugmenter(self.w, self.h)
+        aug = self._augmenters[key]
+        imgs = [r[0] for r in results]
+        hmax = DA._bucket(max(im.shape[0] for im in imgs))
+        wmax = DA._bucket(max(im.shape[1] for im in imgs))
+        canvas = np.zeros((len(imgs), hmax, wmax, 3), np.uint8)
+        cols: dict = {}
+        truth = np.zeros((len(imgs), self.boxes, 5), np.float32)
+        for b, (im, labels) in enumerate(results):
+            oh, ow = im.shape[:2]
+            canvas[b, :oh, :ow] = im
+            params, (dx, dy, isx, isy, flip) = DA.draw_params(
+                self.rng, oh, ow, jitter=self.aug["jitter"],
+                hue=self.aug["hue"],
+                saturation=self.aug["saturation"],
+                exposure=self.aug["exposure"],
+                augment=self.aug["augment"])
+            for k, v in aug.coeffs(params).items():
+                cols.setdefault(k, []).append(v)
+            if len(labels):
+                labels = labels.copy()
+                self.rng.shuffle(labels)
+                labels = A.correct_boxes(labels, dx, dy, isx, isy,
+                                         flip)
+                kept = 0
+                for row in labels[:self.boxes]:
+                    if row[3] < 0.01 or row[4] < 0.01:
+                        continue
+                    truth[b, kept] = [row[1], row[2], row[3], row[4],
+                                      row[0]]
+                    kept += 1
+        arrays = {k: np.stack(v) for k, v in cols.items()}
+        x = aug(canvas, arrays)
+        return x, truth
 
     def __iter__(self) -> Iterator:
         while True:

@@ -142,6 +142,19 @@ def load_image_rgb(path: str) -> np.ndarray:
         return _load_pnm(path)
 
 
+def load_image_u8(path: str) -> np.ndarray:
+    """Decode to HWC uint8 RGB (no /255) — the device-augmentation
+    canvas format (data/device_aug.py): the /255 happens on device so
+    the host->device copy moves 1 byte/px."""
+    try:
+        from PIL import Image  # type: ignore
+        with Image.open(path) as img:
+            return np.asarray(img.convert("RGB"), dtype=np.uint8)
+    except ImportError:
+        return (np.clip(_load_pnm(path), 0, 1) * 255 + 0.5).astype(
+            np.uint8)
+
+
 def _load_pnm(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         data = f.read()
