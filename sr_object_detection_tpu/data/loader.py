@@ -258,7 +258,8 @@ class ClassificationLoader:
                  angle: float = 0.0, aspect: float = 1.0,
                  hue: float = 0.0, saturation: float = 1.0,
                  exposure: float = 1.0, augment: bool = True,
-                 seed: int = 0, workers: int = 8):
+                 seed: int = 0, workers: int = 8,
+                 device_augment: bool = False):
         if isinstance(list_file_or_paths, (str, pathlib.Path)):
             with open(list_file_or_paths) as f:
                 self.paths = [l.strip() for l in f if l.strip()]
@@ -272,6 +273,11 @@ class ClassificationLoader:
                         augment=augment)
         self.rng = np.random.default_rng(seed)
         self.pool = cf.ThreadPoolExecutor(max_workers=workers)
+        # device_augment (training only): the square crop is a
+        # swidth==sheight jitter crop, so it rides the SAME batched
+        # program as detection (data/device_aug.py)
+        self.device_augment = device_augment and augment
+        self._augmenter = None
         self._pending = None
         self._submit()
 
@@ -284,8 +290,13 @@ class ClassificationLoader:
     def _submit(self):
         picks = [self.paths[self.rng.integers(0, len(self.paths))]
                  for _ in range(self.batch)]
-        seeds = self.rng.integers(0, 2**63, size=self.batch)
         self._picks = picks
+        if self.device_augment:
+            from ..ops.image import load_image_u8
+            self._pending = [self.pool.submit(load_image_u8, p)
+                             for p in picks]
+            return
+        seeds = self.rng.integers(0, 2**63, size=self.batch)
         self._pending = [
             self.pool.submit(load_classification_sample, p,
                              np.random.default_rng(int(s)),
@@ -297,11 +308,49 @@ class ClassificationLoader:
         imgs = [f.result() for f in self._pending]
         picks = self._picks
         self._submit()
-        x = np.stack(imgs)
+        if self.device_augment:
+            x = self._device_batch(imgs)
+        else:
+            x = np.stack(imgs)
         y = np.zeros((self.batch, len(self.labels)), np.float32)
         for i, p in enumerate(picks):
             y[i, self.class_of(p)] = 1.0
         return x, y
+
+    def _device_batch(self, imgs):
+        """random_augment_image (image.c) as per-image square-crop
+        params into the shared batched augment program."""
+        from . import device_aug as DA
+        if self._augmenter is None or                 self._augmenter.w != self.w or self._augmenter.h != self.h:
+            self._augmenter = DA.DeviceAugmenter(self.w, self.h)
+        aug = self._augmenter
+        hmax = DA._bucket(max(im.shape[0] for im in imgs))
+        wmax = DA._bucket(max(im.shape[1] for im in imgs))
+        canvas = np.zeros((len(imgs), hmax, wmax, 3), np.uint8)
+        cols: dict = {}
+        rng = self.rng
+        for b, im in enumerate(imgs):
+            oh, ow = im.shape[:2]
+            canvas[b, :oh, :ow] = im
+            mn = min(ow, oh)
+            lo = min(self.aug["min_crop"], mn)
+            hi = min(self.aug["max_crop"], mn)
+            side = int(rng.uniform(lo, max(hi, lo + 1)))
+            dx = int(rng.uniform(0, max(ow - side, 1)))
+            dy = int(rng.uniform(0, max(oh - side, 1)))
+            params = dict(
+                oh=oh, ow=ow, pleft=dx, ptop=dy, swidth=side,
+                sheight=side, flip=bool(rng.integers(0, 2)),
+                dhue=float(rng.uniform(-self.aug["hue"],
+                                       self.aug["hue"])),
+                dsat=float(A.rand_scale(rng, self.aug["saturation"])),
+                dexp=float(A.rand_scale(rng, self.aug["exposure"])))
+            params["do_distort"] = not (
+                params["dhue"] == 0 and params["dsat"] == 1
+                and params["dexp"] == 1)
+            for k, v in aug.coeffs(params).items():
+                cols.setdefault(k, []).append(v)
+        return aug(canvas, {k: np.stack(v) for k, v in cols.items()})
 
 
 def load_cifar10_batch(path: str):

@@ -94,3 +94,33 @@ def test_device_augment_loader(tmp_path):
     loader.set_dims(96, 96)
     x2, _ = loader.next_batch()
     assert np.asarray(x2).shape == (8, 96, 96, 3)
+
+
+def test_device_augment_classification_loader(tmp_path):
+    from sr_object_detection_tpu.data.loader import ClassificationLoader
+    from tools.synth_dataset import write_ppm
+    rng = np.random.default_rng(1)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    paths = []
+    for ci, name in enumerate(["dark", "lite"]):
+        for k in range(3):
+            img = (np.full((40, 48, 3), (ci + 1) / 3) * 255).astype(
+                np.uint8)
+            p = d / f"{name}_{k}.ppm"
+            write_ppm(str(p), img)
+            paths.append(str(p))
+    lst = tmp_path / "l.list"
+    lst.write_text("\n".join(paths) + "\n")
+    loader = ClassificationLoader(str(lst), ["dark", "lite"], w=32,
+                                  h=32, batch=4, device_augment=True)
+    x, y = loader.next_batch()
+    x = np.asarray(x)
+    assert x.shape == (4, 32, 32, 3) and y.shape == (4, 2)
+    assert (y.sum(axis=1) == 1).all()
+    assert 0.0 <= float(x.min()) and float(x.max()) <= 1.0
+    # brightness survives augmentation: class means stay ordered
+    dark = x[y[:, 0] == 1]
+    lite = x[y[:, 1] == 1]
+    if len(dark) and len(lite):
+        assert dark.mean() < lite.mean()
