@@ -124,3 +124,24 @@ def test_device_augment_classification_loader(tmp_path):
     lite = x[y[:, 1] == 1]
     if len(dark) and len(lite):
         assert dark.mean() < lite.mean()
+
+
+def test_matmul_resample_matches_gather():
+    """The MXU one-hot-matmul resample (TPU default) must reproduce
+    the gather path (and through it the host pipeline) to f32
+    rounding."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (90, 110, 3)).astype(np.uint8)
+    canvas = np.zeros((1, 128, 128, 3), np.uint8)
+    canvas[0, :90, :110] = img
+    p, _ = DA.draw_params(rng, 90, 110, jitter=.3, hue=.1,
+                          saturation=1.5, exposure=1.5)
+    outs = {}
+    for mode in ("gather", "matmul"):
+        aug = DA.DeviceAugmenter(64, 64, resample=mode)
+        cols = {k: np.stack([v]) for k, v in aug.coeffs(p).items()}
+        outs[mode] = np.asarray(aug(canvas, cols))[0]
+    np.testing.assert_allclose(outs["gather"], outs["matmul"],
+                               atol=2e-6)
+    ref = _host_pipeline(img, p, 64, 64)
+    np.testing.assert_allclose(outs["matmul"], ref, atol=2e-6)
