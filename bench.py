@@ -243,6 +243,41 @@ def main():
         return tput
 
     try:
+        # input pipeline: device-batched augmentation (the host numpy
+        # pipeline is ~25 img/s/core; real training would be input-
+        # bound without this — data/device_aug.py)
+        from sr_object_detection_tpu.data import device_aug as DA
+        rng = np.random.default_rng(0)
+        cv = rng.integers(0, 255, (128, 384, 512, 3)).astype(np.uint8)
+        aug = DA.DeviceAugmenter(416, 416)
+        cs = [DA.draw_params(rng, 375, 500, jitter=.2, hue=.1,
+                             saturation=1.5, exposure=1.5)[0]
+              for _ in range(128)]
+        cf = [aug.coeffs(c) for c in cs]
+        cols = {k: jnp.asarray(np.stack([c[k] for c in cf]))
+                for k in cf[0]}
+        cj = jnp.asarray(cv)
+
+        @jax.jit
+        def _rep(c, cols):
+            def body(carry, _):
+                out = aug._fn(carry, cols)
+                eps = (jnp.sum(out) * 0).astype(jnp.uint8)
+                return carry + eps, ()
+            y, _ = jax.lax.scan(body, c, None, length=20)
+            return jnp.sum(y.astype(jnp.float32))
+
+        float(_rep(cj, cols))
+        t0 = time.perf_counter()
+        float(_rep(cj, cols))
+        adt = (time.perf_counter() - t0) / 20
+        print(f"device augmentation (crop+resize+flip+HSV, "
+              f"{aug.resample} resample): {128/adt:.0f} img/s "
+              f"({adt*1e3:.1f} ms/batch-128)", file=sys.stderr)
+    except Exception as e:
+        print(f"device-aug bench skipped: {e}", file=sys.stderr)
+
+    try:
         train_bench(tiny_yolo_voc, "tiny-yolo-416", 128)
     except Exception as e:
         print(f"training bench skipped: {e}", file=sys.stderr)
