@@ -549,3 +549,37 @@ def test_dataset_prep_imagenet_and_dice(tmp_path, monkeypatch):
     assert len(moved["val"]) == 1 and len(moved["train"]) == 3
     from sr_object_detection_tpu.ops.image import load_image_rgb
     assert load_image_rgb(moved["train"][0]).shape == (8, 8, 3)
+
+
+def test_reval_voc_tool(tmp_path, capsys):
+    """tools/reval_voc.py (scripts/reval_voc.py + voc_eval.py analog):
+    score saved comp4 files against XML or darknet-txt ground truth."""
+    from tools import reval_voc as RV
+    res = tmp_path / "results"
+    res.mkdir()
+    # 2 images, class 'cat': one perfect detection, one miss
+    (res / "comp4_det_test_cat.txt").write_text(
+        "im0 0.9 10 10 50 50\n"
+        "im1 0.8 200 200 240 240\n")
+    (res / "comp4_det_test_dog.txt").write_text("")
+    names = tmp_path / "names.txt"
+    names.write_text("cat\ndog\n")
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    (ann / "im0.xml").write_text(
+        "<annotation><object><name>cat</name><bndbox>"
+        "<xmin>10</xmin><ymin>10</ymin><xmax>50</xmax><ymax>50</ymax>"
+        "</bndbox></object></annotation>")
+    (ann / "im1.xml").write_text(
+        "<annotation><object><name>cat</name><bndbox>"
+        "<xmin>0</xmin><ymin>0</ymin><xmax>30</xmax><ymax>30</ymax>"
+        "</bndbox></object>"
+        "<object><name>dog</name><bndbox>"
+        "<xmin>5</xmin><ymin>5</ymin><xmax>20</xmax><ymax>20</ymax>"
+        "</bndbox></object></annotation>")
+    m = RV.main([str(res), "--classes", str(names),
+                 "--annotations", str(ann)])
+    out = capsys.readouterr().out
+    assert "AP for cat" in out and "Mean AP" in out
+    # cat: 1 TP of 2 gt at conf .9, 1 FP -> AP 0.5; dog: no dets -> 0
+    assert abs(m - 0.25) < 1e-6
