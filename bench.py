@@ -81,6 +81,24 @@ def main():
               f"(batch {batch}), {uips*flops/1e12:.1f} TFLOP/s-equiv "
               f"({uips/ips:.2f}x bf16)", file=sys.stderr)
         ips = max(ips, qips, uips)
+        # HEADLINE+: phase-split fused conv+pool stem (Pallas,
+        # kernels/phase_stem.py): the leading conv3x3+pool2x2 pairs run
+        # as one fused int8 kernel per pair — the 2x2 max runs on the
+        # raw s32 conv accumulators (monotone epilogue commutes), so
+        # the full-res conv activations never touch HBM. BIT-EXACT to
+        # the int8 chain (tests/test_phase_stem.py + device A/B).
+        if batch == 128:
+            pseng = QuantizedThroughputEngine(
+                spec, params, batch=batch, calib_x=calib,
+                phase_stem=True)
+            pseng.warmup()
+            pr = pseng.benchmark(iters=30, input_dtype=jnp.uint8)
+            pips = pr["images_per_sec"]
+            print(f"throughput int8 u8 phase-stem: {pips:.0f} img/s "
+                  f"(batch {batch}), {pips*flops/1e12:.1f} "
+                  f"TFLOP/s-equiv ({pips/max(uips,1e-9):.2f}x int8-u8)",
+                  file=sys.stderr)
+            ips = max(ips, pips)
     except Exception as e:
         print(f"int8 bench skipped: {e}", file=sys.stderr)
 

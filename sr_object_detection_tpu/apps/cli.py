@@ -134,11 +134,15 @@ def cmd_gemm(argv):
 
 def cmd_speed(argv):
     """darknet.c:98-113: time `tics` forwards, print sec/eval and Hz.
-    `-batch N` widens the eval; `-int8` uses the quantized engine."""
+    `-batch N` widens the eval; `-int8` uses the quantized engine;
+    `-phase-stem` (with -int8 -batch 128) fuses the leading
+    conv3x3+pool2x2 pairs into the Pallas phase-split kernel
+    (kernels/phase_stem.py, bit-exact to the int8 chain)."""
     use_int8 = find_arg(argv, "-int8")
     use_presplit = "flat" if find_arg(argv, "-presplit-flat") \
         else find_arg(argv, "-presplit")
     use_qhead = find_arg(argv, "-qhead")
+    use_phase = find_arg(argv, "-phase-stem")
     batch = find_value(argv, "-batch", 1, int)
     cfg = argv[0]
     tics = int(argv[1]) if len(argv) > 1 else 20
@@ -152,7 +156,8 @@ def cmd_speed(argv):
         from ..infer.quant import QuantizedThroughputEngine
         eng = QuantizedThroughputEngine(spec, params, batch=batch,
                                         presplit=use_presplit,
-                                        quantize_head=use_qhead)
+                                        quantize_head=use_qhead,
+                                        phase_stem=use_phase)
     else:
         eng = ThroughputEngine(spec, params, batch=batch,
                                dtype=jnp.bfloat16,

@@ -183,7 +183,8 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
                            tree_search_dirs=(),
                            presplit: bool = False,
                            quantize_head: bool = False,
-                           region_dtype=None) -> QuantizedNetwork:
+                           region_dtype=None,
+                           phase_stem: bool = False) -> QuantizedNetwork:
     """Fold BN, calibrate activation scales on ``calib_x`` (f32 NHWC
     sample batch), quantize weights per-channel, and build the int8
     forward.
@@ -210,6 +211,16 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
     decode. For yolo9000 the 1024->28269 1x1 head conv is ~2/3 of all
     FLOPs, so this is the dominant serving lever there; gated by the
     WordTree mAP A/B (tests/test_map_parity.py).
+
+    ``phase_stem=True`` owns the leading conv3x3+pool2x2 pairs with the
+    Pallas phase-split fused kernel (kernels/phase_stem.py): the 2x2
+    max runs on the raw s32 conv accumulators inside the kernel (the
+    monotone int8 epilogue commutes with max — bit-exact to this
+    function's XLA chain, pinned in tests/test_phase_stem.py), so the
+    full-resolution conv activations never touch HBM. Requires batch
+    128 (the batch dim IS the lane tile); other batch sizes fall back
+    to the XLA chain inside the same program. Raises NotImplementedError
+    if the spec has no eligible stem.
 
     ``region_dtype`` sets the dtype the [region] decode (logistic +
     softmax / tree softmax) runs in. Default None = f32 (exactness
@@ -347,12 +358,31 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
 
     act_scales = dict(s_out)
 
+    stem_fn, n_stem = None, 0
+    if phase_stem:
+        from ..kernels.phase_stem import build_phase_stem
+        stem_fn, n_stem = build_phase_stem(fspec, qparams, s_out,
+                                           in_scale)
+        if stem_fn is None:
+            raise NotImplementedError(
+                "phase_stem: no eligible conv3x3+pool2x2 stem pairs "
+                "in this spec")
+
     # ---- forward builder -------------------------------------------
     rdt = region_dtype if region_dtype is not None else jnp.float32
 
     def forward(qp, x):
         saved: dict[int, Any] = {}
-        if x.dtype == jnp.uint8:
+        start = 0
+        if stem_fn is not None and x.shape[0] == 128:
+            # Pallas phase-split stem: requant + pairs [0, n_stem) in
+            # fused kernels, bit-exact to the chain below
+            cur = stem_fn(x)
+            for j in range(n_stem):
+                saved[j] = None        # plan_pairs guarantees unused
+            saved[n_stem - 1] = cur
+            start = n_stem
+        elif x.dtype == jnp.uint8:
             # raw camera frames: fold the /255 into the input quant so
             # the engine reads 1 byte/px instead of 4 (the conversion
             # fuses into the requant clamp)
@@ -362,6 +392,8 @@ def quantize_for_inference(spec: S.NetworkSpec, params, calib_x,
             cur = _requant(x.astype(jnp.float32),
                            np.float32(1.0 / in_scale))
         for i, l in enumerate(layers):
+            if i < start:
+                continue
             if isinstance(l, S.ConvSpec):
                 if i in heads and "dequant" in qp[i]:
                     # quantized head: int8 MXU matmul straight off the
@@ -474,7 +506,8 @@ class QuantizedThroughputEngine:
     def __init__(self, spec: S.NetworkSpec, params, *, batch: int = 128,
                  calib_x=None, tree_search_dirs=(),
                  presplit: bool = False, quantize_head: bool = False,
-                 region_dtype=None, mesh=None):
+                 region_dtype=None, mesh=None,
+                 phase_stem: bool = False):
         self.batch = batch
         self.mesh = mesh
         if mesh is not None and batch % mesh.shape["data"]:
@@ -494,11 +527,16 @@ class QuantizedThroughputEngine:
             calib_x = rng.uniform(
                 0, 1, (min(batch, 8), spec.net.h, spec.net.w,
                        spec.net.c)).astype(np.float32)
+        if phase_stem and (mesh is not None or batch != 128):
+            # the phase-split stem's lane dim IS the batch: 128 only,
+            # and a sharded batch never sees 128 per chip here
+            raise ValueError("phase_stem requires batch=128, no mesh")
         qnet = quantize_for_inference(spec, params, calib_x,
                                       tree_search_dirs=tree_search_dirs,
                                       presplit=presplit,
                                       quantize_head=quantize_head,
-                                      region_dtype=region_dtype)
+                                      region_dtype=region_dtype,
+                                      phase_stem=phase_stem)
         self.qnet = qnet
         self.presplit = isinstance(qnet.spec.layers[-1], S.RegionSpec) \
             and qnet.spec.layers[-1].presplit

@@ -1,0 +1,515 @@
+"""B=128 phase-split fused int8 conv+pool stem (the serving headline
+kernel).
+
+Owns the leading [conv3x3(s1,p1)+bias+leaky -> maxpool2x2(s2)] pairs of
+the int8 serving engine (infer/quant.py) in one Pallas kernel per pair.
+Reference semantics: darknet conv 'same' + leaky
+(src_yolo2/convolutional_layer.c:435-474) and maxpool 2x2/2
+(src_yolo2/maxpool_layer.c:79-114), quantized per infer/quant.py's PTQ
+scheme. BIT-EXACT to the XLA int8 chain: the whole int8 epilogue
+(positive per-channel dequant, +bias, leaky 0.1, round-clip requant) is
+monotone nondecreasing, so the 2x2 max commutes through it — the kernel
+maxes the raw s32 conv accumulators and pays the epilogue once per
+POOLED pixel instead of 4x (tests/test_phase_stem.py pins equality).
+
+Why a new layout (per the round-3 floor audit, PARITY.md): at B=128 the
+XLA chain is already per-op bandwidth-optimal, so the only lever left is
+not materializing the full-resolution conv output at all. The blockers
+were (a) Mosaic has no strided lane slice, so a compact [w][b] layout
+cannot express conv taps, and (b) the pool is a stride-2 selection.
+Phase-splitting the width solves both:
+
+  * activations live PHASE-SPLIT by column parity classes mod P:
+    rows-major 2-D (H*C, P*(W_P+2)*128) s8 — lanes are
+    [phase][w2][batch] with batch=128 exactly filling the lane tile,
+    one zero-pad column on each side of every phase block. Column
+    col = m*P + p lives in block p at index m; the pads hold cols
+    m=-1 / m=W_P (out of image, zero = XLA's conv pad).
+  * every conv tap is then a 128-ALIGNED lane slice: column index
+    c = m*P + p reads block (c mod P) at m + c//P — offsets
+    {0,128,256} inside padded blocks, never strided.
+  * 2x2 pooling is an ELEMENTWISE s32 max of the four
+    (conv-row-in-pair x conv-phase-in-pair) dot results at the same
+    lane index: input split mod P produces pooled output split mod
+    P/2, so a K-pair chain starts at P=2^K and every intermediate
+    stays phase-split with ZERO relayout between pairs.
+  * the four pool variants are PACKED INTO THE DOT'S M DIMENSION
+    (first measured A/B: four separate (Cout, 9*Cin) dots left the
+    MXU at 2.6% tile utilization for Cin=3 and lost to the XLA
+    chain). The packed dot is
+      (nv*Cout, NR*NC*Cin) s8 @ (NR*NC*Cin, W_P*128) s8 -> s32
+    where the rhs stages the TAP UNION of the packed variants (4x4
+    rows x phase-cols when both pool dims pack, vs 4 separate 3x3
+    stagings) and the lhs scatters the same 3x3 weights into each
+    variant's 9-of-16 slots (zero elsewhere — s8 zeros are exact).
+    Packing picks per pair the (pack rows? pack phases?) mode that
+    minimizes MXU tile count then staging volume: tiny-yolo pair 1
+    goes 4 dots x 1 tile -> 1 dot x 1 tile per lane-tile, pair 2
+    8 -> 2, pair 3 12 -> 6, pair 4 keeps the unpacked 20 (M=128 is
+    already full there). The s32 max then runs over the nv M-blocks
+    of the dot result.
+
+Row halos: BlockSpec cannot express stride<shape, so pair 1's input is
+materialized PRE-OVERLAPPED (strided-slice halos + a no-copy reshape,
+one concat fusion — NOT a per-block slice stack, which profiled as 13
+separate 36-us copies); pairs 2+ read the previous kernel's output
+directly (blocks of 2*RP rows) plus a small strided-slice halo sideband
+(2 rows per block, padded to the 32-sublane s8 tile) — no full-tensor
+relayout passes between pairs. The pool-K output reassembles to NHWC
+s8 for the XLA tail in one pass.
+
+Used by QuantizedThroughputEngine(phase_stem=True); exactness vs the
+XLA int8 chain is pinned in tests/test_phase_stem.py (interpret mode on
+CPU, device on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..graph import spec as S
+
+_INTERPRET = False          # flipped by CPU tests (Mosaic needs TPU)
+
+_LANE = 128
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+# --------------------------------------------------------------------
+# layout helpers (pure jnp; fuse into neighbors under jit)
+# --------------------------------------------------------------------
+
+def _requant(v_f32, inv_scale):
+    """Same expression as infer.quant._requant — bit-exactness depends
+    on using the identical f32 op chain."""
+    return jnp.clip(jnp.round(v_f32 * inv_scale), -127, 127).astype(
+        jnp.int8)
+
+
+def to_phase(q_nhwc, P: int):
+    """(B=128, H, W, C) s8 -> rows-major phase-split
+    (H*C, P*(W_P+2)*128) s8 with zero pad columns.
+
+    ONE 5-D transpose (the w -> (m, p) regroup is a free reshape
+    before it, and the pad columns are inserted BEFORE the transpose
+    so the padded-5-D intermediate — whose 28-sublane second-minor dim
+    tile-pads to 32 and forces a real copy on the final reshape — is
+    never materialized after the transpose)."""
+    B, H, W, C = q_nhwc.shape
+    assert B == _LANE and W % P == 0
+    wp = W // P
+    t = q_nhwc.reshape(B, H, wp, P, C)
+    t = jnp.pad(t, ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)))
+    t = t.transpose(1, 4, 3, 2, 0)               # (H, C, P, wp+2, B)
+    return t.reshape(H * C, P * (wp + 2) * B)
+
+
+def from_phase(of, H: int, W: int, C: int, P: int):
+    """(H*C, P*(W_P+2)*128) s8 -> (128, H, W, C) NHWC s8."""
+    wp = W // P
+    t = of.reshape(H, C, P, wp + 2, _LANE)[:, :, :, 1:1 + wp]
+    # col = m*P + p: W reassembles as (m major, p minor)
+    return t.transpose(4, 0, 3, 2, 1).reshape(_LANE, H, W, C)
+
+
+def pre_overlap(xf, H: int, C: int, RP: int, n_blocks: int):
+    """(H*C, PW) -> (NB, (2*RP+2)*C, PW): row blocks of 2*RP conv rows
+    plus a one-row halo on each side; rows -1 and >=H are zeros.
+
+    Per-block slice stack: measured BEST of three formulations on the
+    v5e (slice stack 0.72 ms vs strided-slice concat ~1.1 ms vs
+    jnp.take row gather ~0.93 ms for the 74 MB pair-1 build) — XLA
+    lowers each slice to a floor-rate copy, while gathers are
+    scalar-unit-bound and strided slices retile to T(4,128)."""
+    PW = xf.shape[-1]
+    xr = xf.reshape(H, C, PW)
+    need = 2 * RP * n_blocks + 1
+    xr = jnp.pad(xr, ((1, max(0, need - H) + 1), (0, 0), (0, 0)))
+    blocks = [xr[i * 2 * RP:i * 2 * RP + 2 * RP + 2]
+              for i in range(n_blocks)]
+    return jnp.stack(blocks).reshape(n_blocks, (2 * RP + 2) * C, PW)
+
+
+def halo_pad(C: int) -> int:
+    """Sublane rows per halo block: 2*C padded up to 8 sublanes —
+    probed on this toolchain: s8 BlockSpec blocks at 8-row granularity
+    compile and copy bit-exact (the s8 (32,128) tile does NOT force
+    32-row block alignment). C=3 -> 8; C>=16 already aligned."""
+    return -(-2 * C // 8) * 8
+
+
+def halo_rows(xf, H: int, C: int, RP: int, n_blocks: int):
+    """(H*C, PW) -> (NB*HP, PW) halo sideband: block i holds
+    [conv row 2*RP*i - 1 (zeros for i=0)] at sublanes 0..C-1 and
+    [conv row 2*RP*(i+1) (zeros past the last valid row)] at C..2C-1,
+    zero-padded to HP=halo_pad(C) sublanes. Sublane slices of the 2-D
+    view directly — slicing a (H, C, PW) reshape made XLA fork a
+    SECOND full-size copy of the pair input in a different 5-D layout
+    (profiled: 0.39 ms of duplicate relayout at 416px) while the
+    Pallas x operand wants the flat {1,0} form."""
+    PW = xf.shape[-1]
+    HP = halo_pad(C)
+    zero = jnp.zeros((C, PW), xf.dtype)
+    zpad = jnp.zeros((HP - 2 * C, PW), xf.dtype) if HP > 2 * C else None
+    rows = []
+    for i in range(n_blocks):
+        t = 2 * RP * i - 1
+        b = 2 * RP * (i + 1)
+        rows.append(xf[t * C:(t + 1) * C] if t >= 0 else zero)
+        rows.append(xf[b * C:(b + 1) * C] if b < H else zero)
+        if zpad is not None:
+            rows.append(zpad)
+    return jnp.concatenate(rows, axis=0)
+
+
+# --------------------------------------------------------------------
+# pool-variant packing (M-dimension) — see module docstring
+# --------------------------------------------------------------------
+
+def _groups(pack_dr: bool, pack_pp: bool):
+    """Pool variants (dr=conv row in pair, pp=conv phase in pair)
+    grouped per dot: [(base (dr0,pp0), variants)]."""
+    if pack_dr and pack_pp:
+        return [((0, 0), ((0, 0), (0, 1), (1, 0), (1, 1)))]
+    if pack_dr:
+        return [((0, pp), ((0, pp), (1, pp))) for pp in (0, 1)]
+    if pack_pp:
+        return [((dr, 0), ((dr, 0), (dr, 1))) for dr in (0, 1)]
+    return [((dr, pp), ((dr, pp),)) for dr in (0, 1) for pp in (0, 1)]
+
+
+def _pack_mode(C: int, Cout: int):
+    """Pick (pack_dr, pack_pp) minimizing MXU tile count per pooled
+    lane-tile, tie-broken by rhs staging volume."""
+    best = None
+    for pack_dr in (True, False):
+        for pack_pp in (True, False):
+            groups = _groups(pack_dr, pack_pp)
+            nv = len(groups[0][1])
+            NR = 4 if pack_dr else 3
+            NC = 4 if pack_pp else 3
+            G = len(groups)
+            tiles = G * (-(-nv * Cout // 128)) * (-(-NR * NC * C // 128))
+            staging = G * NR * NC * C
+            key = (tiles, staging)
+            if best is None or key < best[0]:
+                best = (key, pack_dr, pack_pp)
+    return best[1], best[2]
+
+
+def _pack_lhs(wq, C: int, Cout: int, pack_dr: bool, pack_pp: bool):
+    """Scatter (Cout, 9*C) tap-major weights into the packed lhs
+    (G*nv*Cout, NR*NC*C): variant (dr,pp) of group g lands its 3x3
+    taps at row-union slot (dy+dr-dr0, dx+pp-pp0); untouched slots
+    stay zero (exact in s8 x s8 -> s32)."""
+    NR = 4 if pack_dr else 3
+    NC = 4 if pack_pp else 3
+    groups = _groups(pack_dr, pack_pp)
+    nv = len(groups[0][1])
+    L = np.zeros((len(groups) * nv * Cout, NR * NC * C), wq.dtype)
+    for g, ((dr0, pp0), variants) in enumerate(groups):
+        for vi, (dr, pp) in enumerate(variants):
+            ro = (g * nv + vi) * Cout
+            for dy in range(3):
+                for dx in range(3):
+                    ri = dy + dr - dr0
+                    ci = dx + pp - pp0
+                    t = dy * 3 + dx
+                    L[ro:ro + Cout,
+                      (ri * NC + ci) * C:(ri * NC + ci + 1) * C] = \
+                        wq[:, t * C:(t + 1) * C]
+    return np.ascontiguousarray(L)
+
+
+# --------------------------------------------------------------------
+# the pair kernel
+# --------------------------------------------------------------------
+
+def _pair_kernel(*refs, C, Cout, P, WP, RP, inv_out, variant_a,
+                 pack_dr, pack_pp):
+    """Grid (NB, P//2). One step: RP pooled rows of ONE output phase.
+
+    variant A refs: x (1, (2RP+2)*C, PW), w, dq, b, o, rhs
+    variant B refs: x (2RP*C, PW), halo (HP, PW), w, dq, b, o, rhs
+
+    o: (RP*Cout, (WP+2)*128) — one padded phase block of RP pooled
+    rows. rhs: (NR*NC*C, WP*128) s8 scratch for the tap-union operand.
+    """
+    if variant_a:
+        x_ref, w_ref, dq_ref, b_ref, o_ref, rhs_ref = refs
+        h_ref = None
+    else:
+        x_ref, h_ref, w_ref, dq_ref, b_ref, o_ref, rhs_ref = refs
+    q = pl.program_id(1)
+    WPL = WP * _LANE
+    BW = (WP + 2) * _LANE
+    NR = 4 if pack_dr else 3
+    NC = 4 if pack_pp else 3
+    groups = _groups(pack_dr, pack_pp)
+    nv = len(groups[0][1])
+    Mg = nv * Cout
+
+    def row(r):
+        """Accessor for conv input row r in [-1, 2*RP]: returns a
+        function mapping a dynamic lane slice to the (C, WPL) tap."""
+        if variant_a:
+            return lambda ds: x_ref[0, (r + 1) * C:(r + 2) * C, ds]
+        if r < 0:
+            return lambda ds: h_ref[0:C, ds]
+        if r >= 2 * RP:
+            return lambda ds: h_ref[C:2 * C, ds]
+        return lambda ds: x_ref[r * C:(r + 1) * C, ds]
+
+    def col_start(c):
+        """Lane offset of the tap slice for conv column class c in
+        [-1, P]: block (c mod P) at m + c//P. Offsets are always
+        128-aligned (dynamic in q, which Mosaic accepts with a
+        multiple_of hint — the probed dynamic-but-aligned pattern)."""
+        blk = jax.lax.rem(c + P, P)
+        dlt = jax.lax.div(c - blk, P)          # -1 / 0 / +1, exact
+        return pl.multiple_of(blk * BW + (1 + dlt) * _LANE, _LANE)
+
+    for rp in range(RP):
+        acc = None
+        for g, ((dr0, pp0), variants) in enumerate(groups):
+            for ri in range(NR):
+                r = row(2 * rp + dr0 + ri - 1)
+                for ci in range(NC):
+                    c = 2 * q + (pp0 + ci - 1)
+                    rhs_ref[(ri * NC + ci) * C:
+                            (ri * NC + ci + 1) * C, :] = r(
+                        pl.ds(col_start(c), WPL))
+            y = jax.lax.dot_general(
+                w_ref[g * Mg:(g + 1) * Mg, :], rhs_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)   # (Mg, WPL)
+            for vi in range(nv):
+                blk = y[vi * Cout:(vi + 1) * Cout]
+                acc = blk if acc is None else jnp.maximum(acc, blk)
+        # int8 epilogue on the POOLED s32 accumulator (monotone chain:
+        # max commutes; same f32 expressions as infer.quant)
+        v = acc.astype(jnp.float32) * dq_ref[...] + b_ref[...]
+        v = jnp.where(v > 0, v, 0.1 * v)
+        o8 = jnp.clip(jnp.round(v * inv_out), -127, 127).astype(jnp.int8)
+        o_ref[rp * Cout:(rp + 1) * Cout, _LANE:_LANE + WPL] = o8
+    # zero this block's pad columns (the next pair's out-of-image taps)
+    o_ref[:, 0:_LANE] = jnp.zeros((RP * Cout, _LANE), jnp.int8)
+    o_ref[:, _LANE + WPL:BW] = jnp.zeros((RP * Cout, _LANE), jnp.int8)
+
+
+def _vmem_bytes(C, Cout, P, WP, RP, variant_a, pack_dr, pack_pp):
+    PW = P * (WP + 2) * _LANE
+    WPL = WP * _LANE
+    NR = 4 if pack_dr else 3
+    NC = 4 if pack_pp else 3
+    nv = (2 if pack_dr else 1) * (2 if pack_pp else 1)
+    inb = ((2 * RP + 2) if variant_a else 2 * RP) * C * PW
+    halo = 0 if variant_a else halo_pad(C) * PW
+    out = RP * Cout * (WP + 2) * _LANE
+    rhs = NR * NC * C * WPL
+    acc = (nv + 1) * Cout * WPL * 4
+    w = (4 // nv) * nv * Cout * NR * NC * C
+    return 2 * inb + 2 * halo + out + rhs + acc + w
+
+
+def _pick_rp(H2, C, Cout, P, WP, variant_a, pack_dr, pack_pp):
+    """Largest RP dividing H2 with (for variant B) 8-aligned block
+    offsets (probed granularity, see halo_pad), groups <= 16, and the
+    VMEM estimate under budget."""
+    best = None
+    for rp in range(1, min(H2, 16) + 1):
+        if H2 % rp:
+            continue
+        if not variant_a and (2 * rp * C) % 8:
+            continue
+        if _vmem_bytes(C, Cout, P, WP, rp, variant_a,
+                       pack_dr, pack_pp) > _VMEM_BUDGET:
+            continue
+        best = rp
+    return best
+
+
+def _run_pair(xf, halo, wpk, dq, bias, *, C, Cout, P, WP, RP, NB,
+              inv_out, pack_dr, pack_pp):
+    variant_a = halo is None
+    PW = P * (WP + 2) * _LANE
+    BW = (WP + 2) * _LANE
+    NR = 4 if pack_dr else 3
+    NC = 4 if pack_pp else 3
+    H2 = NB * RP
+    out_shape = jax.ShapeDtypeStruct((H2 * Cout, (P // 2) * BW),
+                                     jnp.int8)
+    kern = functools.partial(_pair_kernel, C=C, Cout=Cout, P=P, WP=WP,
+                             RP=RP, inv_out=inv_out, variant_a=variant_a,
+                             pack_dr=pack_dr, pack_pp=pack_pp)
+    if variant_a:
+        in_specs = [pl.BlockSpec((1, (2 * RP + 2) * C, PW),
+                                 lambda i, q: (i, 0, 0))]
+        args = (xf,)
+    else:
+        HP = halo_pad(C)
+        in_specs = [pl.BlockSpec((2 * RP * C, PW), lambda i, q: (i, 0)),
+                    pl.BlockSpec((HP, PW), lambda i, q: (i, 0))]
+        args = (xf, halo)
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+    flops = 2 * (2 * H2) * (WP * P) * Cout * 9 * C * _LANE
+    bytes_in = int(xf.size + (halo.size if halo is not None else 0))
+    return pl.pallas_call(
+        kern,
+        grid=(NB, P // 2),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((RP * Cout, BW), lambda i, q: (i, q)),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((NR * NC * C, WP * _LANE), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=0,
+            bytes_accessed=bytes_in + out_shape.size),
+        interpret=_INTERPRET,
+    )(*args, wpk, dq, bias)
+
+
+# --------------------------------------------------------------------
+# stem planner / builder
+# --------------------------------------------------------------------
+
+def plan_pairs(spec: S.NetworkSpec, max_pairs: int = 4):
+    """Leading [conv3x3 s1 p1 leaky, maxpool2x2 s2 p0] pairs the phase
+    kernel can own: W divisible by 2^K, H/W even at each level, no
+    route/shortcut back into the prefix. Returns list of (ci, pi)."""
+    pairs = []
+    layers = spec.layers
+    i = 0
+    while i + 1 < len(layers) and len(pairs) < max_pairs:
+        l, nxt = layers[i], layers[i + 1]
+        if not (isinstance(l, S.ConvSpec) and l.size == 3
+                and l.stride == 1 and l.pad == 1
+                and l.activation == "leaky"
+                and not getattr(l, "xnor", False)
+                and not getattr(l, "binary", False)
+                and isinstance(nxt, S.MaxPoolSpec) and nxt.size == 2
+                and nxt.stride == 2 and nxt.pad == 0
+                and l.out_h % 2 == 0 and l.out_w % 2 == 0):
+            break
+        pairs.append((i, i + 1))
+        i += 2
+    while pairs:
+        K = len(pairs)
+        W, H = layers[0].w, layers[0].h
+        if W % (1 << K) == 0 and H % (1 << K) == 0:
+            break
+        pairs.pop()                      # shrink K until W_P is whole
+    if not pairs:
+        return []
+    consumed = pairs[-1][1] + 1
+    for j in range(consumed, len(layers)):
+        l = layers[j]
+        if isinstance(l, S.RouteSpec) and any(k < consumed
+                                              for k in l.layers):
+            return []
+        if isinstance(l, S.ShortcutSpec) and l.from_index < consumed:
+            return []
+    return pairs
+
+
+def build_phase_stem(spec: S.NetworkSpec, qparams, s_out, in_scale,
+                     *, max_pairs: int = 4):
+    """Build the fused int8 stem over the quantized params of
+    infer.quant.quantize_for_inference.
+
+    Returns (stem_fn, n_consumed) or (None, 0). stem_fn(x) takes the
+    raw engine input (f32 [0,1] or u8 frames, NHWC, batch 128) and
+    returns the int8 NHWC activation after the last fused pair (scale
+    s_out[n_consumed-1], identical values to the XLA chain).
+    """
+    pairs = plan_pairs(spec, max_pairs=max_pairs)
+    if not pairs:
+        return None, 0
+    first = spec.layers[0]
+    K = len(pairs)
+    WP = first.w // (1 << K)
+    if WP < 1:
+        return None, 0
+
+    plans = []
+    P = 1 << K
+    for (ci, _pi) in pairs:
+        l = spec.layers[ci]
+        H2 = l.out_h // 2
+        pack_dr, pack_pp = _pack_mode(l.c, l.filters)
+        # variant B (direct input blocks + halo sideband) needs
+        # 8-aligned sublane block offsets (probed); incompatible
+        # channel/RP combinations fall back to variant A (materialized
+        # pre-overlap — an extra XLA slice-stack pass over the input)
+        variant_a = False
+        RP = _pick_rp(H2, l.c, l.filters, P, WP, variant_a,
+                      pack_dr, pack_pp)
+        if RP is None and not variant_a:
+            variant_a = True
+            RP = _pick_rp(H2, l.c, l.filters, P, WP, True,
+                          pack_dr, pack_pp)
+        if RP is None:
+            return None, 0
+        qp = qparams[ci]
+        if "dequant" not in qp:          # head conv / unquantized
+            return None, 0
+        # numpy-only: eager jnp ops here would each pay a ~30s remote
+        # compile on tunneled deployments (see the calibration observer
+        # note in infer/quant.py); the constants close over the jitted
+        # stem_fn instead
+        wq = np.ascontiguousarray(
+            np.asarray(qp["weights"]).reshape(9 * l.c, l.filters).T)
+        wpk = _pack_lhs(wq, l.c, l.filters, pack_dr, pack_pp)
+        dq = np.asarray(qp["dequant"], np.float32).reshape(-1, 1)
+        bias = np.asarray(qp["biases"], np.float32).reshape(-1, 1)
+        plans.append(dict(C=l.c, Cout=l.filters, P=P, WP=WP, RP=RP,
+                          NB=H2 // RP, H=l.h,
+                          inv_out=np.float32(1.0 / s_out[ci]),
+                          wpk=wpk, dq=dq, bias=bias,
+                          variant_a=variant_a,
+                          pack_dr=pack_dr, pack_pp=pack_pp))
+        P //= 2
+    lastp = spec.layers[pairs[-1][1]]
+    out_h, out_w, out_c = lastp.out_h, lastp.out_w, lastp.out_c
+
+    inv_in = np.float32(1.0 / in_scale)
+    inv_in_u8 = np.float32(1.0 / (255.0 * in_scale))
+
+    def stem_fn(x):
+        # frame requant (same expression as the XLA path) fused with
+        # the phase-split transpose and pair 1's pre-overlap — one pass
+        inv = inv_in_u8 if x.dtype == jnp.uint8 else inv_in
+        q = _requant(x.astype(jnp.float32), inv)
+        p0 = plans[0]
+        cur = to_phase(q, p0["P"])
+        H = p0["H"]
+        for k, pn in enumerate(plans):
+            if pn["variant_a"]:
+                xa = pre_overlap(cur, H, pn["C"], pn["RP"], pn["NB"])
+                halo = None
+            else:
+                xa = cur
+                halo = halo_rows(cur, H, pn["C"], pn["RP"], pn["NB"])
+            cur = _run_pair(xa, halo, pn["wpk"], pn["dq"], pn["bias"],
+                            C=pn["C"], Cout=pn["Cout"], P=pn["P"],
+                            WP=pn["WP"], RP=pn["RP"], NB=pn["NB"],
+                            inv_out=pn["inv_out"],
+                            pack_dr=pn["pack_dr"],
+                            pack_pp=pn["pack_pp"])
+            H = pn["NB"] * pn["RP"]
+        return from_phase(cur, out_h, out_w, out_c,
+                          plans[-1]["P"] // 2)
+
+    return stem_fn, pairs[-1][1] + 1
+
+
+__all__ = ["build_phase_stem", "plan_pairs", "to_phase", "from_phase",
+           "pre_overlap", "halo_rows", "halo_pad"]
