@@ -168,11 +168,15 @@ def main():
             QuantizedThroughputEngine)
         calib2 = np.random.RandomState(0).uniform(
             0, 1, (8, spec2.net.h, spec2.net.w, 3)).astype(np.float32)
+        # phase-split fused stem on the 608 trunk too (pairs that fit
+        # VMEM; in-kernel WS column chunking at WP=152) — bit-exact,
+        # measured 3000 -> 3194 img/s u8 (+6.5%)
         q2 = QuantizedThroughputEngine(spec2, params2, batch=128,
-                                       calib_x=calib2)
+                                       calib_x=calib2, phase_stem=True)
         q2.warmup()
-        qr2 = q2.benchmark(iters=8)
-        print(f"yolov2-coco-608: int8 {qr2['images_per_sec']:.0f} img/s "
+        qr2 = q2.benchmark(iters=8, input_dtype=jnp.uint8)
+        print(f"yolov2-coco-608: int8 u8 phase-stem "
+              f"{qr2['images_per_sec']:.0f} img/s "
               f"({qr2['images_per_sec']/r2['images_per_sec']:.2f}x bf16)",
               file=sys.stderr)
     except Exception as e:
@@ -209,14 +213,15 @@ def main():
         # pinned vs the 5-D path (tests/test_presplit.py) which is
         # mAP-gated end-to-end (tests/test_map_parity.py::
         # test_voc_map_parity_full_serving_stack).
+        # + phase-split fused stem (bit-exact; 2826 -> 2987 u8, +5.7%)
         q9 = _QTE(spec9, p9, batch=128, calib_x=calib9,
                   presplit="flat", quantize_head=True,
-                  region_dtype=jnp.bfloat16)
+                  region_dtype=jnp.bfloat16, phase_stem=True)
         q9.warmup()
-        qr9 = q9.benchmark(iters=6)
+        qr9 = q9.benchmark(iters=6, input_dtype=jnp.uint8)
         print(f"yolo9000-416 int8 full stack (qhead+bf16-decode+"
-              f"flat presplit): {qr9['images_per_sec']:.0f} img/s "
-              f"({qr9['images_per_sec']/r9['images_per_sec']:.2f}x "
+              f"flat presplit+phase-stem): {qr9['images_per_sec']:.0f} "
+              f"img/s ({qr9['images_per_sec']/r9['images_per_sec']:.2f}x "
               f"flat-bf16)", file=sys.stderr)
     except Exception as e:
         print(f"yolo9000 bench skipped: {e}", file=sys.stderr)

@@ -232,7 +232,7 @@ def _pack_lhs(wq, C: int, Cout: int, pack_dr: bool, pack_pp: bool):
 # the pair kernel
 # --------------------------------------------------------------------
 
-def _pair_kernel(*refs, C, Cout, P, WP, RP, inv_out, variant_a,
+def _pair_kernel(*refs, C, Cout, P, WP, RP, WS, inv_out, variant_a,
                  pack_dr, pack_pp):
     """Grid (NB, P//2). One step: RP pooled rows of ONE output phase.
 
@@ -240,7 +240,9 @@ def _pair_kernel(*refs, C, Cout, P, WP, RP, inv_out, variant_a,
     variant B refs: x (2RP*C, PW), halo (HP, PW), w, dq, b, o, rhs
 
     o: (RP*Cout, (WP+2)*128) — one padded phase block of RP pooled
-    rows. rhs: (NR*NC*C, WP*128) s8 scratch for the tap-union operand.
+    rows, computed in WS-column chunks (WS | WP) so the s32 dot
+    accumulator stays under VMEM at wide images (608px: WP=152).
+    rhs: (NR*NC*C, WS*128) s8 scratch for the tap-union operand.
     """
     if variant_a:
         x_ref, w_ref, dq_ref, b_ref, o_ref, rhs_ref = refs
@@ -248,6 +250,7 @@ def _pair_kernel(*refs, C, Cout, P, WP, RP, inv_out, variant_a,
     else:
         x_ref, h_ref, w_ref, dq_ref, b_ref, o_ref, rhs_ref = refs
     q = pl.program_id(1)
+    WSL = WS * _LANE
     WPL = WP * _LANE
     BW = (WP + 2) * _LANE
     NR = 4 if pack_dr else 3
@@ -258,7 +261,7 @@ def _pair_kernel(*refs, C, Cout, P, WP, RP, inv_out, variant_a,
 
     def row(r):
         """Accessor for conv input row r in [-1, 2*RP]: returns a
-        function mapping a dynamic lane slice to the (C, WPL) tap."""
+        function mapping a dynamic lane slice to the (C, WSL) tap."""
         if variant_a:
             return lambda ds: x_ref[0, (r + 1) * C:(r + 2) * C, ds]
         if r < 0:
@@ -267,76 +270,86 @@ def _pair_kernel(*refs, C, Cout, P, WP, RP, inv_out, variant_a,
             return lambda ds: h_ref[C:2 * C, ds]
         return lambda ds: x_ref[r * C:(r + 1) * C, ds]
 
-    def col_start(c):
-        """Lane offset of the tap slice for conv column class c in
-        [-1, P]: block (c mod P) at m + c//P. Offsets are always
+    def col_start(c, mc):
+        """Lane offset of the chunk-mc tap slice for conv column class
+        c in [-1, P]: block (c mod P) at m + c//P. Offsets are always
         128-aligned (dynamic in q, which Mosaic accepts with a
         multiple_of hint — the probed dynamic-but-aligned pattern)."""
         blk = jax.lax.rem(c + P, P)
         dlt = jax.lax.div(c - blk, P)          # -1 / 0 / +1, exact
-        return pl.multiple_of(blk * BW + (1 + dlt) * _LANE, _LANE)
+        return pl.multiple_of(
+            blk * BW + (1 + dlt) * _LANE + mc * WSL, _LANE)
 
     for rp in range(RP):
-        acc = None
-        for g, ((dr0, pp0), variants) in enumerate(groups):
-            for ri in range(NR):
-                r = row(2 * rp + dr0 + ri - 1)
-                for ci in range(NC):
-                    c = 2 * q + (pp0 + ci - 1)
-                    rhs_ref[(ri * NC + ci) * C:
-                            (ri * NC + ci + 1) * C, :] = r(
-                        pl.ds(col_start(c), WPL))
-            y = jax.lax.dot_general(
-                w_ref[g * Mg:(g + 1) * Mg, :], rhs_ref[...],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)   # (Mg, WPL)
-            for vi in range(nv):
-                blk = y[vi * Cout:(vi + 1) * Cout]
-                acc = blk if acc is None else jnp.maximum(acc, blk)
-        # int8 epilogue on the POOLED s32 accumulator (monotone chain:
-        # max commutes; same f32 expressions as infer.quant)
-        v = acc.astype(jnp.float32) * dq_ref[...] + b_ref[...]
-        v = jnp.where(v > 0, v, 0.1 * v)
-        o8 = jnp.clip(jnp.round(v * inv_out), -127, 127).astype(jnp.int8)
-        o_ref[rp * Cout:(rp + 1) * Cout, _LANE:_LANE + WPL] = o8
+        for mc in range(WP // WS):
+            acc = None
+            for g, ((dr0, pp0), variants) in enumerate(groups):
+                for ri in range(NR):
+                    r = row(2 * rp + dr0 + ri - 1)
+                    for ci in range(NC):
+                        c = 2 * q + (pp0 + ci - 1)
+                        rhs_ref[(ri * NC + ci) * C:
+                                (ri * NC + ci + 1) * C, :] = r(
+                            pl.ds(col_start(c, mc), WSL))
+                y = jax.lax.dot_general(
+                    w_ref[g * Mg:(g + 1) * Mg, :], rhs_ref[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)   # (Mg, WSL)
+                for vi in range(nv):
+                    blk = y[vi * Cout:(vi + 1) * Cout]
+                    acc = blk if acc is None else jnp.maximum(acc, blk)
+            # int8 epilogue on the POOLED s32 accumulator (monotone
+            # chain: max commutes; same f32 expressions as infer.quant)
+            v = acc.astype(jnp.float32) * dq_ref[...] + b_ref[...]
+            v = jnp.where(v > 0, v, 0.1 * v)
+            o8 = jnp.clip(jnp.round(v * inv_out), -127,
+                          127).astype(jnp.int8)
+            o_ref[rp * Cout:(rp + 1) * Cout,
+                  _LANE + mc * WSL:_LANE + (mc + 1) * WSL] = o8
     # zero this block's pad columns (the next pair's out-of-image taps)
     o_ref[:, 0:_LANE] = jnp.zeros((RP * Cout, _LANE), jnp.int8)
     o_ref[:, _LANE + WPL:BW] = jnp.zeros((RP * Cout, _LANE), jnp.int8)
 
 
-def _vmem_bytes(C, Cout, P, WP, RP, variant_a, pack_dr, pack_pp):
+def _vmem_bytes(C, Cout, P, WP, RP, WS, variant_a, pack_dr, pack_pp):
     PW = P * (WP + 2) * _LANE
-    WPL = WP * _LANE
+    WSL = WS * _LANE
     NR = 4 if pack_dr else 3
     NC = 4 if pack_pp else 3
     nv = (2 if pack_dr else 1) * (2 if pack_pp else 1)
     inb = ((2 * RP + 2) if variant_a else 2 * RP) * C * PW
     halo = 0 if variant_a else halo_pad(C) * PW
     out = RP * Cout * (WP + 2) * _LANE
-    rhs = NR * NC * C * WPL
-    acc = (nv + 1) * Cout * WPL * 4
+    rhs = NR * NC * C * WSL
+    acc = (nv + 1) * Cout * WSL * 4
     w = (4 // nv) * nv * Cout * NR * NC * C
     return 2 * inb + 2 * halo + out + rhs + acc + w
 
 
-def _pick_rp(H2, C, Cout, P, WP, variant_a, pack_dr, pack_pp):
-    """Largest RP dividing H2 with (for variant B) 8-aligned block
-    offsets (probed granularity, see halo_pad), groups <= 16, and the
-    VMEM estimate under budget."""
+def _pick_rp_ws(H2, C, Cout, P, WP, variant_a, pack_dr, pack_pp):
+    """(RP, WS): largest RP dividing H2 with (for variant B) 8-aligned
+    block offsets (probed granularity, see halo_pad), then the largest
+    WS dividing WP (fewest in-kernel column chunks) with the VMEM
+    estimate under budget. Returns (None, None) if nothing fits."""
+    ws_cands = [w for w in range(WP, 0, -1) if WP % w == 0]
     best = None
     for rp in range(1, min(H2, 16) + 1):
         if H2 % rp:
             continue
         if not variant_a and (2 * rp * C) % 8:
             continue
-        if _vmem_bytes(C, Cout, P, WP, rp, variant_a,
-                       pack_dr, pack_pp) > _VMEM_BUDGET:
-            continue
-        best = rp
-    return best
+        for ws in ws_cands:
+            if _vmem_bytes(C, Cout, P, WP, rp, ws, variant_a,
+                           pack_dr, pack_pp) <= _VMEM_BUDGET:
+                # prefer larger RP (amortizes halos/loop), then the
+                # largest WS that fits at that RP
+                if best is None or rp > best[0]:
+                    best = (rp, ws)
+                break
+    return best if best is not None else (None, None)
 
 
-def _run_pair(xf, halo, wpk, dq, bias, *, C, Cout, P, WP, RP, NB,
+def _run_pair(xf, halo, wpk, dq, bias, *, C, Cout, P, WP, RP, WS, NB,
               inv_out, pack_dr, pack_pp):
     variant_a = halo is None
     PW = P * (WP + 2) * _LANE
@@ -347,7 +360,8 @@ def _run_pair(xf, halo, wpk, dq, bias, *, C, Cout, P, WP, RP, NB,
     out_shape = jax.ShapeDtypeStruct((H2 * Cout, (P // 2) * BW),
                                      jnp.int8)
     kern = functools.partial(_pair_kernel, C=C, Cout=Cout, P=P, WP=WP,
-                             RP=RP, inv_out=inv_out, variant_a=variant_a,
+                             RP=RP, WS=WS, inv_out=inv_out,
+                             variant_a=variant_a,
                              pack_dr=pack_dr, pack_pp=pack_pp)
     if variant_a:
         in_specs = [pl.BlockSpec((1, (2 * RP + 2) * C, PW),
@@ -367,7 +381,7 @@ def _run_pair(xf, halo, wpk, dq, bias, *, C, Cout, P, WP, RP, NB,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((RP * Cout, BW), lambda i, q: (i, q)),
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((NR * NC * C, WP * _LANE), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM((NR * NC * C, WS * _LANE), jnp.int8)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -430,37 +444,52 @@ def build_phase_stem(spec: S.NetworkSpec, qparams, s_out, in_scale,
     returns the int8 NHWC activation after the last fused pair (scale
     s_out[n_consumed-1], identical values to the XLA chain).
     """
-    pairs = plan_pairs(spec, max_pairs=max_pairs)
+    all_pairs = plan_pairs(spec, max_pairs=max_pairs)
+    plans, pairs = [], []
+    for K in range(len(all_pairs), 0, -1):
+        cand = all_pairs[:K]
+        W, H = spec.layers[0].w, spec.layers[0].h
+        if W % (1 << K) or H % (1 << K) or W // (1 << K) < 1:
+            continue
+        WP = W // (1 << K)
+        plans = []
+        P = 1 << K
+        ok = True
+        for (ci, _pi) in cand:
+            l = spec.layers[ci]
+            H2 = l.out_h // 2
+            pack_dr, pack_pp = _pack_mode(l.c, l.filters)
+            # variant B (direct input blocks + halo sideband) needs
+            # 8-aligned sublane block offsets (probed); incompatible
+            # channel/RP combinations fall back to variant A
+            # (materialized pre-overlap — an extra XLA slice-stack
+            # pass over the input)
+            variant_a = False
+            RP, WS = _pick_rp_ws(H2, l.c, l.filters, P, WP, variant_a,
+                                 pack_dr, pack_pp)
+            if RP is None:
+                variant_a = True
+                RP, WS = _pick_rp_ws(H2, l.c, l.filters, P, WP, True,
+                                     pack_dr, pack_pp)
+            qp = qparams[ci]
+            if RP is None or "dequant" not in qp:
+                ok = False        # doesn't fit: retry with fewer pairs
+                break
+            plans.append((ci, l, RP, WS, variant_a, pack_dr, pack_pp))
+            P //= 2
+        if ok:
+            pairs = cand
+            break
     if not pairs:
         return None, 0
-    first = spec.layers[0]
     K = len(pairs)
-    WP = first.w // (1 << K)
-    if WP < 1:
-        return None, 0
+    WP = spec.layers[0].w // (1 << K)
 
-    plans = []
+    built = []
     P = 1 << K
-    for (ci, _pi) in pairs:
-        l = spec.layers[ci]
+    for (ci, l, RP, WS, variant_a, pack_dr, pack_pp) in plans:
         H2 = l.out_h // 2
-        pack_dr, pack_pp = _pack_mode(l.c, l.filters)
-        # variant B (direct input blocks + halo sideband) needs
-        # 8-aligned sublane block offsets (probed); incompatible
-        # channel/RP combinations fall back to variant A (materialized
-        # pre-overlap — an extra XLA slice-stack pass over the input)
-        variant_a = False
-        RP = _pick_rp(H2, l.c, l.filters, P, WP, variant_a,
-                      pack_dr, pack_pp)
-        if RP is None and not variant_a:
-            variant_a = True
-            RP = _pick_rp(H2, l.c, l.filters, P, WP, True,
-                          pack_dr, pack_pp)
-        if RP is None:
-            return None, 0
         qp = qparams[ci]
-        if "dequant" not in qp:          # head conv / unquantized
-            return None, 0
         # numpy-only: eager jnp ops here would each pay a ~30s remote
         # compile on tunneled deployments (see the calibration observer
         # note in infer/quant.py); the constants close over the jitted
@@ -470,8 +499,8 @@ def build_phase_stem(spec: S.NetworkSpec, qparams, s_out, in_scale,
         wpk = _pack_lhs(wq, l.c, l.filters, pack_dr, pack_pp)
         dq = np.asarray(qp["dequant"], np.float32).reshape(-1, 1)
         bias = np.asarray(qp["biases"], np.float32).reshape(-1, 1)
-        plans.append(dict(C=l.c, Cout=l.filters, P=P, WP=WP, RP=RP,
-                          NB=H2 // RP, H=l.h,
+        built.append(dict(C=l.c, Cout=l.filters, P=P, WP=WP, RP=RP,
+                          WS=WS, NB=H2 // RP, H=l.h,
                           inv_out=np.float32(1.0 / s_out[ci]),
                           wpk=wpk, dq=dq, bias=bias,
                           variant_a=variant_a,
@@ -488,10 +517,10 @@ def build_phase_stem(spec: S.NetworkSpec, qparams, s_out, in_scale,
         # the phase-split transpose and pair 1's pre-overlap — one pass
         inv = inv_in_u8 if x.dtype == jnp.uint8 else inv_in
         q = _requant(x.astype(jnp.float32), inv)
-        p0 = plans[0]
+        p0 = built[0]
         cur = to_phase(q, p0["P"])
         H = p0["H"]
-        for k, pn in enumerate(plans):
+        for k, pn in enumerate(built):
             if pn["variant_a"]:
                 xa = pre_overlap(cur, H, pn["C"], pn["RP"], pn["NB"])
                 halo = None
@@ -500,13 +529,13 @@ def build_phase_stem(spec: S.NetworkSpec, qparams, s_out, in_scale,
                 halo = halo_rows(cur, H, pn["C"], pn["RP"], pn["NB"])
             cur = _run_pair(xa, halo, pn["wpk"], pn["dq"], pn["bias"],
                             C=pn["C"], Cout=pn["Cout"], P=pn["P"],
-                            WP=pn["WP"], RP=pn["RP"], NB=pn["NB"],
-                            inv_out=pn["inv_out"],
+                            WP=pn["WP"], RP=pn["RP"], WS=pn["WS"],
+                            NB=pn["NB"], inv_out=pn["inv_out"],
                             pack_dr=pn["pack_dr"],
                             pack_pp=pn["pack_pp"])
             H = pn["NB"] * pn["RP"]
         return from_phase(cur, out_h, out_w, out_c,
-                          plans[-1]["P"] // 2)
+                          built[-1]["P"] // 2)
 
     return stem_fn, pairs[-1][1] + 1
 

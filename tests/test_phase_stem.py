@@ -170,6 +170,28 @@ def test_phase_stem_planner_rejections():
     assert len(PS.plan_pairs(spec3, max_pairs=3)) == 2
 
 
+def test_column_chunking_and_prefix_truncation():
+    """A tight VMEM budget forces (a) WS < WP in-kernel column chunks
+    and (b) truncating the fused chain to the pairs that fit — both
+    must stay bit-exact / consistent with the XLA chain."""
+    in_scale = 1.0 / 127.0
+    spec, qparams, s_out = _synthetic_stem(16, 16, [3, 16, 8])
+    old = PS._VMEM_BUDGET
+    try:
+        PS._VMEM_BUDGET = 220 * 1024   # tiny: forces chunking/truncation
+        stem_fn, n = PS.build_phase_stem(spec, qparams, s_out, in_scale)
+        assert stem_fn is not None and n in (2, 4)
+        x = np.random.RandomState(7).uniform(
+            0, 1, (128, 16, 16, 3)).astype(np.float32)
+        got = np.asarray(jax.jit(stem_fn)(jnp.asarray(x)))
+        ref = np.asarray(jax.jit(
+            lambda v: _xla_chain(spec.layers, qparams, s_out, in_scale,
+                                 v, n))(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, ref)
+    finally:
+        PS._VMEM_BUDGET = old
+
+
 def test_layout_roundtrip():
     rng = np.random.RandomState(0)
     q = rng.randint(-127, 128, (128, 8, 16, 3)).astype(np.int8)
