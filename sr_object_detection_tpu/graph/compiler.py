@@ -112,7 +112,8 @@ def _as_flat(x):
 
 
 def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None,
-                  fused_stem: bool = False, b1_matmul: bool = False):
+                  fused_stem: bool = False, b1_matmul: bool = False,
+                  phase_train: bool = False):
     """Build forward(params, x, *, train=False, rng=None, truth=None).
 
     Returns (output, aux) where output is the network output (flat (B,N)
@@ -127,6 +128,13 @@ def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None,
     passes stop costing a full HBM round trip each. Engaged per pair when
     the trace-time batch is 128 (the lane-filling batch); the zone enters
     and exits via explicit transposes whose cost is measured in PARITY.md.
+
+    phase_train (bf16 training only): the LEADING [conv3x3+BN+leaky,
+    maxpool2x2/2] pair runs with the conv INSIDE phase-split Pallas
+    kernels (kernels/phase_train.py) — the full-resolution conv
+    activation never reaches HBM in forward or backward. Leading pair
+    only: its input is the network input, whose gradient is never
+    needed (the fused backward returns a DCE'd zero input cotangent).
     """
     trees = trees or {}
     layers = spec.layers
@@ -135,6 +143,24 @@ def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None,
 
     # statically fusable (conv, pool) training-stem pairs
     fusable: set[int] = set()
+    phase_pair = False
+    if phase_train and compute_dtype == jnp.bfloat16:
+        from ..kernels import phase_train as PT
+        if jax.default_backend() != "tpu" and not PT._INTERPRET:
+            phase_train = False
+    if phase_train and compute_dtype == jnp.bfloat16 and len(layers) > 1:
+        from ..kernels import phase_train as PT
+        l0, nxt = layers[0], layers[1]
+        if (isinstance(l0, S.ConvSpec) and l0.batch_normalize
+                and l0.size == 3 and l0.stride == 1 and l0.pad == 1
+                and l0.activation == "leaky" and not l0.xnor
+                and not l0.binary
+                and isinstance(nxt, S.MaxPoolSpec)
+                and nxt.size == 2 and nxt.stride == 2 and nxt.pad == 0
+                and 0 not in keep
+                and PT.plan_pair(l0.h, l0.w, l0.c, l0.filters)
+                is not None):
+            phase_pair = True
     if fused_stem and compute_dtype == jnp.bfloat16:
         from ..kernels import fused_stem as FS
         # Mosaic kernels only run on TPU (interpret mode is the CPU
@@ -166,6 +192,24 @@ def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None,
 
         for i, l in enumerate(layers):
             if i in consumed:
+                continue
+            if (i == 0 and phase_pair and train and cur.ndim == 4
+                    and cur.shape[0] == 128):
+                # leading pair: conv+BN+bias+leaky+pool with the conv
+                # inside phase-split Pallas kernels — the full-res conv
+                # activation never reaches HBM (kernels/phase_train.py)
+                from ..kernels.phase_train import phase_train_block
+                cur, bn = phase_train_block(_as_nhwc(cur, l), params[0],
+                                            l)
+                bn_updates[0] = bn
+                # stable remat name (= the pool output this replaces):
+                # without it selective remat would recompute the whole
+                # fused forward in backward
+                from jax.ad_checkpoint import checkpoint_name
+                cur = checkpoint_name(cur, "layer1_out")
+                consumed.add(1)
+                if 1 in keep or keep_all or 1 == out_idx:
+                    saved[1] = cur
                 continue
             fuse_here = (
                 i in fusable and train

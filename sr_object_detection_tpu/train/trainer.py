@@ -58,7 +58,8 @@ def _find_head(spec: S.NetworkSpec):
 
 def make_train_step(spec: S.NetworkSpec, *, mesh=None,
                     compute_dtype=None, remat: bool = False,
-                    fused_stem: bool = False):
+                    fused_stem: bool = False,
+                    phase_train: bool = False):
     """Returns train_step(state, x, truth, rng) -> (state, metrics).
 
     x: (B, H, W, C) float32 where B = net.batch * net.subdivisions
@@ -75,7 +76,8 @@ def make_train_step(spec: S.NetworkSpec, *, mesh=None,
     # 45.2 ms unfused vs 45.8 ms fused) — see kernels/fused_stem.py.
     fwd = build_forward(
         spec, trees=trees, compute_dtype=compute_dtype,
-        fused_stem=fused_stem and (mesh is None or mesh.size == 1))
+        fused_stem=fused_stem and (mesh is None or mesh.size == 1),
+        phase_train=phase_train and (mesh is None or mesh.size == 1))
     head = spec.layers[head_idx]
     region_loss_ws = None
     if head_kind == "region":
@@ -231,7 +233,8 @@ class Trainer:
 
     def __init__(self, spec: S.NetworkSpec, params=None, *, mesh=None,
                  seed: int = 0, compute_dtype=None, remat: bool = False,
-                 tp_min_filters: int = 2048, fused_stem: bool = False):
+                 tp_min_filters: int = 2048, fused_stem: bool = False,
+                 phase_train: bool = False):
         self.spec = spec
         self.mesh = mesh
         if params is None:
@@ -249,10 +252,12 @@ class Trainer:
         self._compute_dtype = compute_dtype
         self._remat = remat
         self._fused_stem = fused_stem
+        self._phase_train = phase_train
         self._steps: dict[tuple[int, int], Any] = {}
         self._steps[(spec.net.h, spec.net.w)] = self._jit(
             make_train_step(spec, mesh=mesh, compute_dtype=compute_dtype,
-                            remat=remat, fused_stem=fused_stem))
+                            remat=remat, fused_stem=fused_stem,
+                            phase_train=phase_train))
         self._rng = jax.random.PRNGKey(seed)
 
     def _jit(self, step):
@@ -271,7 +276,8 @@ class Trainer:
             rspec = self.spec.resize(w, h)
             self._steps[key] = self._jit(make_train_step(
                 rspec, mesh=self.mesh, compute_dtype=self._compute_dtype,
-                remat=self._remat, fused_stem=self._fused_stem))
+                remat=self._remat, fused_stem=self._fused_stem,
+                phase_train=self._phase_train))
         return self._steps[key]
 
     def step(self, x, truth):

@@ -1,0 +1,137 @@
+"""Phase-split fused TRAINING pair (kernels/phase_train.py) vs the
+production bf16 chain (ops/conv.conv_block train + ops/pooling.maxpool).
+
+The fused pair recomputes the conv via MXU dots with a different
+accumulation order than lax.conv, so outputs agree to bf16 tolerance
+(not bitwise); the backward reproduces the reference hand-written BN
+gradient + first-max pool routing + bf16-rounded leaky backward (same
+expressions as kernels/fused_stem.py, which is pinned against the
+unfused chain bit-for-bit at fixed conv output).
+"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sr_object_detection_tpu.kernels.phase_train as PT
+from sr_object_detection_tpu.graph import spec as S
+from sr_object_detection_tpu.ops import activations as A
+from sr_object_detection_tpu.ops import conv as C
+from sr_object_detection_tpu.ops import pooling as P
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    PT._INTERPRET = True
+    yield
+    PT._INTERPRET = False
+
+
+def _mkpair(H, W, Cin, Cout, seed=0):
+    rng = np.random.RandomState(seed)
+    spec = S.ConvSpec(
+        index=0, h=H, w=W, c=Cin, inputs=H * W * Cin, out_h=H, out_w=W,
+        out_c=Cout, outputs=H * W * Cout, size=3, stride=1, pad=1,
+        filters=Cout, activation="leaky", batch_normalize=True)
+    params = {
+        "weights": jnp.asarray(
+            rng.randn(3, 3, Cin, Cout).astype(np.float32) * 0.3),
+        "biases": jnp.asarray(rng.randn(Cout).astype(np.float32) * 0.1),
+        "scales": jnp.asarray(
+            1.0 + 0.2 * rng.randn(Cout).astype(np.float32)),
+        "rolling_mean": jnp.asarray(
+            0.05 * rng.randn(Cout).astype(np.float32)),
+        "rolling_variance": jnp.asarray(
+            1.0 + 0.1 * rng.rand(Cout).astype(np.float32)),
+    }
+    x = jnp.asarray(rng.rand(128, H, W, Cin).astype(np.float32))
+    return spec, params, x
+
+
+def _prod_pair(x, p, spec):
+    y, bn = C.conv_block(x, p, spec, A.get_activation("leaky"),
+                         train=True, compute_dtype=jnp.bfloat16)
+    return P.maxpool(y, size=2, stride=2, pad=0), bn
+
+
+def test_forward_parity():
+    spec, params, x = _mkpair(16, 16, 3, 16)
+    got, bn_g = jax.jit(
+        lambda v: PT.phase_train_block(v, params, spec))(x)
+    ref, bn_r = jax.jit(lambda v: _prod_pair(v, params, spec))(x)
+    assert got.shape == ref.shape == (128, 8, 8, 16)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2)
+    for k in ("rolling_mean", "rolling_variance"):
+        np.testing.assert_allclose(np.asarray(bn_g[k]),
+                                   np.asarray(bn_r[k]),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_gradient_parity():
+    spec, params, x = _mkpair(16, 16, 3, 16, seed=3)
+    r = jnp.asarray(np.random.RandomState(9).randn(
+        128, 8, 8, 16).astype(np.float32))
+
+    def loss_fused(p):
+        y, _ = PT.phase_train_block(x, p, spec)
+        return jnp.sum(y.astype(jnp.float32) * r)
+
+    def loss_prod(p):
+        y, _ = _prod_pair(x, p, spec)
+        return jnp.sum(y.astype(jnp.float32) * r)
+
+    gf = jax.jit(jax.grad(loss_fused))(params)
+    gp = jax.jit(jax.grad(loss_prod))(params)
+    for k in ("weights", "scales", "biases"):
+        a, b = np.asarray(gf[k]), np.asarray(gp[k])
+        scale = max(1e-3, float(np.max(np.abs(b))))
+        np.testing.assert_allclose(a, b, rtol=4e-2, atol=4e-2 * scale,
+                                   err_msg=k)
+
+
+def test_trainer_integration():
+    """make_train_step(phase_train=True): one step on a tiny detector,
+    loss matches the unfused step to bf16 tolerance and decreases."""
+    from sr_object_detection_tpu.models.zoo import tiny_yolo_voc
+    from sr_object_detection_tpu.io.weights import init_params
+    from sr_object_detection_tpu.train.trainer import (TrainState,
+                                                       make_train_step)
+    from sr_object_detection_tpu.train.sgd import init_velocity
+    import dataclasses
+
+    base = tiny_yolo_voc(width=32, height=32)
+    spec = dataclasses.replace(
+        base, net=dataclasses.replace(base.net, batch=128,
+                                      subdivisions=1))
+    params = jax.tree.map(jnp.asarray, init_params(spec, seed=0))
+    x = jnp.asarray(np.random.RandomState(0).rand(
+        128, 32, 32, 3).astype(np.float32))
+    t = np.zeros((128, 30, 5), np.float32)
+    t[:, 0] = [0.5, 0.5, 0.4, 0.4, 2]
+    t = jnp.asarray(t)
+    rng = jax.random.PRNGKey(0)
+
+    losses = {}
+    for pt in (False, True):
+        st = TrainState(params, init_velocity(params), jnp.asarray(0))
+        step = jax.jit(make_train_step(spec, compute_dtype=jnp.bfloat16,
+                                       phase_train=pt))
+        st, m1 = step(st, x, t, rng)
+        _, m2 = step(st, x, t, rng)
+        losses[pt] = (float(m1["loss"]), float(m2["loss"]))
+    # same trajectory to bf16 tolerance, and training makes progress
+    assert abs(losses[True][0] - losses[False][0]) \
+        <= 0.03 * abs(losses[False][0]) + 0.05
+    assert losses[True][1] < losses[True][0]
+
+
+def test_plan_rejects_odd_geometry():
+    assert PT.plan_pair(15, 16, 3, 16) is None      # odd H
+    assert PT.plan_pair(416, 416, 3, 16) is not None
