@@ -227,7 +227,7 @@ def main():
         print(f"yolo9000 bench skipped: {e}", file=sys.stderr)
 
     def train_bench(mkspec, label, batch_t, *, iters=5, remat=False,
-                    fast_init=False):
+                    fast_init=False, phase_train=False):
         import dataclasses
         from sr_object_detection_tpu.train.trainer import (
             make_train_step, TrainState)
@@ -242,7 +242,8 @@ def main():
         tparams = jax.tree.map(jnp.asarray, ip(tspec, seed=0))
         state = TrainState(tparams, init_velocity(tparams), jnp.asarray(0))
         tstep = jax.jit(
-            make_train_step(tspec, compute_dtype=jnp.bfloat16, remat=remat),
+            make_train_step(tspec, compute_dtype=jnp.bfloat16, remat=remat,
+                            phase_train=phase_train),
             donate_argnums=(0,))
         xt = jnp.asarray(np.random.uniform(
             0, 1, (batch_t, tspec.net.h, tspec.net.w, 3)).astype(np.float32))
@@ -301,7 +302,12 @@ def main():
         print(f"device-aug bench skipped: {e}", file=sys.stderr)
 
     try:
-        train_bench(tiny_yolo_voc, "tiny-yolo-416", 128)
+        # phase_train: the leading conv+pool pair trains with the conv
+        # inside phase-split Pallas kernels (kernels/phase_train.py) —
+        # measured 2828 -> 3065 img/s on the v5e (parity-tested vs the
+        # production chain, tests/test_phase_train.py)
+        train_bench(tiny_yolo_voc, "tiny-yolo-416", 128,
+                    phase_train=True)
     except Exception as e:
         print(f"training bench skipped: {e}", file=sys.stderr)
 
