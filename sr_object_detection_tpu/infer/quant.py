@@ -44,7 +44,7 @@ from ..graph.compiler import CompiledNetwork, resolve_trees
 from ..ops import activations as A
 from ..ops import boxes as B
 from ..ops import layout as L
-from .engine import fold_params_for_inference
+from .engine import fold_params_for_inference, sync_checksum
 
 I8MIN, I8MAX = -127, 127     # symmetric: keep -128 out so |q| <= 127
 
@@ -551,10 +551,7 @@ class QuantizedThroughputEngine:
             @jax.jit
             def run_sum(x):
                 out = fwd(qp, x)
-                if isinstance(out, tuple):
-                    return sum(jnp.sum(o, dtype=jnp.float32)
-                               for o in out)
-                return jnp.sum(out, dtype=jnp.float32)
+                return sync_checksum(out)
         else:
             # multi-chip DP serving for the int8 path: batch sharded
             # over the mesh 'data' axis, int8 weights + scales
@@ -574,10 +571,7 @@ class QuantizedThroughputEngine:
             @partial(jax.jit, in_shardings=(bs,))
             def run_sum(x):
                 out = fwd(qp, x)
-                if isinstance(out, tuple):
-                    return sum(jnp.sum(o, dtype=jnp.float32)
-                               for o in out)
-                return jnp.sum(out, dtype=jnp.float32)
+                return sync_checksum(out)
 
         self._run = run
         self._run_sum = run_sum
