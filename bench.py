@@ -39,7 +39,8 @@ def main():
     print(f"analytic FLOPs/img: {flops/1e9:.2f} G", file=sys.stderr)
 
     from sr_object_detection_tpu.utils.profiler import TPU_PEAK_FLOPS
-    PEAK = TPU_PEAK_FLOPS["v5e"]   # 197e12 bf16 (394 is the int8 number)
+    PEAK = TPU_PEAK_FLOPS["v5e"]   # 197e12 bf16
+    PEAK_INT8 = 2 * PEAK           # 394e12 int8 (v5e doubles the MACs)
 
     eng = ThroughputEngine(spec, params, batch=batch, dtype=jnp.bfloat16)
     t0 = time.perf_counter()
@@ -71,7 +72,9 @@ def main():
         qips = qr["images_per_sec"]
         print(f"throughput int8: {qips:.0f} img/s (batch {batch}), "
               f"{qips*flops/1e12:.1f} TFLOP/s-equiv "
-              f"({qips/ips:.2f}x bf16)", file=sys.stderr)
+              f"({qips/ips:.2f}x bf16, "
+              f"{100*qips*flops/PEAK_INT8:.0f}% of v5e int8 peak)",
+              file=sys.stderr)
         # HEADLINE: uint8 camera frames into the int8 engine — the /255
         # is folded into the input quant, so the device reads 1 byte/px
         # instead of 4 (the serving configuration for camera traffic)
@@ -96,7 +99,8 @@ def main():
             pips = pr["images_per_sec"]
             print(f"throughput int8 u8 phase-stem: {pips:.0f} img/s "
                   f"(batch {batch}), {pips*flops/1e12:.1f} "
-                  f"TFLOP/s-equiv ({pips/max(uips,1e-9):.2f}x int8-u8)",
+                  f"TFLOP/s-equiv ({pips/max(uips,1e-9):.2f}x int8-u8, "
+                  f"{100*pips*flops/PEAK_INT8:.0f}% of v5e int8 peak)",
                   file=sys.stderr)
             ips = max(ips, pips)
     except Exception as e:

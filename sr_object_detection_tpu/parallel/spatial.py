@@ -29,7 +29,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..graph import spec as S
 from ..graph.compiler import CompiledNetwork
-from ..infer.engine import fold_params_for_inference, checksum_benchmark
+from ..infer.engine import (fold_params_for_inference,
+                            checksum_benchmark, sync_checksum)
 
 
 def spatial_mesh(n_space: int, *, n_data: int = 1, devices=None) -> Mesh:
@@ -88,9 +89,7 @@ class SpatialShardedEngine:
         @partial(jax.jit, in_shardings=(None, hs))
         def run_sum(params, x):
             out, _ = fwd(params, x.astype(dtype))
-            if isinstance(out, tuple):
-                return sum(jnp.sum(o, dtype=jnp.float32) for o in out)
-            return jnp.sum(out, dtype=jnp.float32)
+            return sync_checksum(out)
 
         self._run = run
         self._run_sum = run_sum

@@ -583,3 +583,48 @@ def test_reval_voc_tool(tmp_path, capsys):
     assert "AP for cat" in out and "Mean AP" in out
     # cat: 1 TP of 2 gt at conf .9, 1 FP -> AP 0.5; dog: no dets -> 0
     assert abs(m - 0.25) < 1e-6
+
+
+def test_voc_label_tool(tmp_path):
+    """tools/voc_label.py (scripts/voc_label.py analog): VOC XML ->
+    darknet txt labels, values hand-computed from the reference's
+    convert() — plain midpoint (NO -1 pixel offset), difficult and
+    unknown-class objects dropped."""
+    from tools import voc_label as VL
+    devkit = tmp_path / "VOCdevkit"
+    main = devkit / "VOC2007" / "ImageSets" / "Main"
+    ann = devkit / "VOC2007" / "Annotations"
+    main.mkdir(parents=True)
+    ann.mkdir(parents=True)
+    (main / "train.txt").write_text("000001\n")
+    (ann / "000001.xml").write_text(
+        "<annotation><size><width>200</width><height>100</height>"
+        "</size>"
+        "<object><name>cat</name><difficult>0</difficult><bndbox>"
+        "<xmin>20</xmin><xmax>60</xmax><ymin>10</ymin><ymax>50</ymax>"
+        "</bndbox></object>"
+        "<object><name>cat</name><difficult>1</difficult><bndbox>"
+        "<xmin>0</xmin><xmax>10</xmax><ymin>0</ymin><ymax>10</ymax>"
+        "</bndbox></object>"
+        "<object><name>unicorn</name><difficult>0</difficult><bndbox>"
+        "<xmin>0</xmin><xmax>10</xmax><ymin>0</ymin><ymax>10</ymax>"
+        "</bndbox></object></annotation>")
+    import sys
+    argv, sys.argv = sys.argv, ["voc_label", str(devkit),
+                                "--sets", "2007:train"]
+    try:
+        VL.main()
+    finally:
+        sys.argv = argv
+    lines = (devkit / "VOC2007" / "labels" / "000001.txt") \
+        .read_text().strip().splitlines()
+    assert len(lines) == 1          # difficult + unknown dropped
+    vals = lines[0].split()
+    assert vals[0] == str(VL.VOC_CLASSES.index("cat"))
+    # reference convert((200,100),(20,60,10,50)):
+    #   x=(20+60)/2 /200 = 0.2   y=(10+50)/2 /100 = 0.3
+    #   w=40/200 = 0.2           h=40/100 = 0.4
+    np.testing.assert_allclose(
+        [float(v) for v in vals[1:]], [0.2, 0.3, 0.2, 0.4], atol=1e-6)
+    lst = (devkit / "2007_train.txt").read_text().strip()
+    assert lst.endswith("000001.jpg")

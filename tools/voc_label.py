@@ -22,11 +22,12 @@ VOC_CLASSES = ["aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
 
 
 def convert_box(size, box):
-    """(xmin,xmax,ymin,ymax) pixels -> relative center box
-    (voc_label.py convert())."""
+    """(xmin,xmax,ymin,ymax) pixels -> relative center box, matching
+    the reference's scripts/voc_label.py convert() exactly (plain
+    midpoint, no pixel offset)."""
     dw, dh = 1.0 / size[0], 1.0 / size[1]
-    x = (box[0] + box[1]) / 2.0 - 1
-    y = (box[2] + box[3]) / 2.0 - 1
+    x = (box[0] + box[1]) / 2.0
+    y = (box[2] + box[3]) / 2.0
     w = box[1] - box[0]
     h = box[3] - box[2]
     return x * dw, y * dh, w * dw, h * dh
