@@ -111,12 +111,21 @@ class DetectionLoader:
                  jitter: float = 0.2, hue: float = 0.1,
                  saturation: float = 1.5, exposure: float = 1.5,
                  augment: bool = True, seed: int = 0, workers: int = 8,
-                 device_augment: bool = False):
+                 device_augment: bool = False,
+                 process_index: int | None = None,
+                 process_count: int | None = None):
         if isinstance(list_file_or_paths, (str, pathlib.Path)):
             with open(list_file_or_paths) as f:
                 self.paths = [l.strip() for l in f if l.strip()]
         else:
             self.paths = list(list_file_or_paths)
+        # multi-host: each process loads only its own dataset slice —
+        # the get_data_part analog (src_yolo2/data.c:1128); defaults to
+        # the ambient jax process coordinates so a multi-process
+        # trainer shards automatically, and stays a no-op single-process
+        self.paths = self._shard_paths(self.paths,
+                                       process_index=process_index,
+                                       process_count=process_count)
         if not self.paths:
             raise ValueError("empty image list")
         self.w, self.h = w, h
@@ -136,6 +145,20 @@ class DetectionLoader:
         self.device_augment = device_augment
         self._augmenters: dict = {}
         self._submit()
+
+    @staticmethod
+    def _shard_paths(paths, *, process_index=None, process_count=None):
+        """get_data_part row arithmetic (data.c:1128) over the path
+        list: process p of n owns [N*p/n, N*(p+1)/n)."""
+        if process_count is None:
+            import jax
+            process_count = jax.process_count()
+            process_index = jax.process_index()
+        if process_count <= 1:
+            return paths
+        n = len(paths)
+        return paths[n * process_index // process_count:
+                     n * (process_index + 1) // process_count]
 
     def set_dims(self, w: int, h: int):
         """Multi-scale resize hook (detector.c:91-109): subsequent
@@ -259,12 +282,17 @@ class ClassificationLoader:
                  hue: float = 0.0, saturation: float = 1.0,
                  exposure: float = 1.0, augment: bool = True,
                  seed: int = 0, workers: int = 8,
-                 device_augment: bool = False):
+                 device_augment: bool = False,
+                 process_index: int | None = None,
+                 process_count: int | None = None):
         if isinstance(list_file_or_paths, (str, pathlib.Path)):
             with open(list_file_or_paths) as f:
                 self.paths = [l.strip() for l in f if l.strip()]
         else:
             self.paths = list(list_file_or_paths)
+        self.paths = DetectionLoader._shard_paths(
+            self.paths, process_index=process_index,
+            process_count=process_count)
         self.labels = list(labels)
         self.w, self.h, self.batch = w, h, batch
         self.aug = dict(min_crop=min_crop or w, max_crop=max_crop or 2 * w,

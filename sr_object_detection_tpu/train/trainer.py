@@ -237,18 +237,33 @@ class Trainer:
                  phase_train: bool = False):
         self.spec = spec
         self.mesh = mesh
+        self._multiprocess = jax.process_count() > 1
         if params is None:
             params = init_params(spec, seed=seed)
-        params = jax.tree.map(jnp.asarray, params)
-        if mesh is not None:
-            params = shard_params(mesh, params, spec,
-                                  tp_min_filters=tp_min_filters)
-        self.state = TrainState(
-            params=params,
-            velocity=init_velocity(params),
-            seen=jnp.asarray(0, jnp.int64 if jax.config.jax_enable_x64
-                             else jnp.int32),
-        )
+        seen0 = np.asarray(0, np.int64 if jax.config.jax_enable_x64
+                           else np.int32)
+        if self._multiprocess:
+            # multi-host: every process holds the same seeded init;
+            # replicate onto the global mesh (parallel/distributed.py).
+            # TP placement is single-process-only for now — the
+            # reference has no TP at all (SURVEY §2.5).
+            from ..parallel.distributed import replicate
+            params = replicate(mesh, params)
+            self.state = TrainState(
+                params=params,
+                velocity=init_velocity(params),
+                seen=replicate(mesh, seen0),
+            )
+        else:
+            params = jax.tree.map(jnp.asarray, params)
+            if mesh is not None:
+                params = shard_params(mesh, params, spec,
+                                      tp_min_filters=tp_min_filters)
+            self.state = TrainState(
+                params=params,
+                velocity=init_velocity(params),
+                seen=jnp.asarray(seen0),
+            )
         self._compute_dtype = compute_dtype
         self._remat = remat
         self._fused_stem = fused_stem
@@ -282,6 +297,11 @@ class Trainer:
 
     def step(self, x, truth):
         self._rng, sub = jax.random.split(self._rng)
+        if self._multiprocess:
+            # committed single-device arrays can't enter a global
+            # computation; numpy inputs are treated as replicated
+            # (identical on every process by the shared-seed contract)
+            sub = np.asarray(sub)
         if x.ndim == 4:
             step = self._step_for(x.shape[1], x.shape[2])
         else:
