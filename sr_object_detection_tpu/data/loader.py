@@ -101,6 +101,13 @@ def load_detection_sample(path: str, rng: np.random.Generator, *,
     return sized, truth
 
 
+def _decode_sample(p: str):
+    """Decode one frame + its label file (module-level so it pickles
+    into ProcessPoolExecutor workers — the decoder="process" path)."""
+    from ..ops.image import load_image_u8
+    return load_image_u8(p), read_boxes(label_path_for(p))
+
+
 class DetectionLoader:
     """Prefetching detection batch loader (analog of load_data +
     load_threads double-buffering, data.c:717-798 + detector.c:86-113).
@@ -111,7 +118,7 @@ class DetectionLoader:
                  jitter: float = 0.2, hue: float = 0.1,
                  saturation: float = 1.5, exposure: float = 1.5,
                  augment: bool = True, seed: int = 0, workers: int = 8,
-                 device_augment: bool = False,
+                 device_augment: bool = False, decoder: str = "thread",
                  process_index: int | None = None,
                  process_count: int | None = None):
         if isinstance(list_file_or_paths, (str, pathlib.Path)):
@@ -135,7 +142,17 @@ class DetectionLoader:
         self.aug = dict(jitter=jitter, hue=hue, saturation=saturation,
                         exposure=exposure, augment=augment)
         self.rng = np.random.default_rng(seed)
-        self.pool = cf.ThreadPoolExecutor(max_workers=workers)
+        # decoder="process": sidestep the GIL for the JPEG decode (the
+        # loader-pthread fan-out of data.c:717-798 scaled to real
+        # cores). PIL decode holds the GIL for most of its time, so
+        # thread workers collapse to ~1 core; process workers scale
+        # with os.cpu_count(). Costs one pickle round-trip per frame
+        # (~0.5 MB u8) — worth it whenever cpu_count > 1.
+        if decoder == "process":
+            self.pool: cf.Executor = cf.ProcessPoolExecutor(
+                max_workers=min(workers, os.cpu_count() or 1))
+        else:
+            self.pool = cf.ThreadPoolExecutor(max_workers=workers)
         self._pending: Optional[list] = None
         # device_augment: the host only decodes (threads) and draws the
         # aug params; crop/resize/flip/HSV run as ONE jitted batch
@@ -169,12 +186,7 @@ class DetectionLoader:
         picks = [self.paths[self.rng.integers(0, len(self.paths))]
                  for _ in range(self.batch)]
         if self.device_augment:
-            from ..ops.image import load_image_u8
-
-            def _decode(p):
-                return load_image_u8(p), read_boxes(label_path_for(p))
-
-            self._pending = [self.pool.submit(_decode, p)
+            self._pending = [self.pool.submit(_decode_sample, p)
                              for p in picks]
             return
         seeds = self.rng.integers(0, 2**63, size=self.batch)
