@@ -391,3 +391,59 @@ def test_pipelined_engine_matches_single_device():
         devs = eng.stage_devices()
         assert len(set(map(str, devs))) == n_stages
         assert len(plan_stages(spec, n_stages)) == n_stages - 1
+
+
+def test_pipelined_trainer_matches_subdivided_single_device():
+    """GPipe TRAINING over PP stages: 3 stages x 2 microbatches must
+    produce the same post-step parameters as the single-device trainer
+    at subdivisions=2 (identical grad accumulation order, rng cadence,
+    BN rolling-stat cadence). Full-remat backward; grads accumulate on
+    each stage's own device. The reference has no PP (SURVEY 2.5)."""
+    import dataclasses
+
+    from sr_object_detection_tpu.io.weights import init_params
+    from sr_object_detection_tpu.parallel.pipeline import PipelinedTrainer
+    from sr_object_detection_tpu.train.sgd import init_velocity
+    from sr_object_detection_tpu.train.trainer import (TrainState,
+                                                       make_train_step)
+
+    b = CfgBuilder()
+    b.net(batch=4, subdivisions=2, width=32, height=32, channels=3,
+          learning_rate=0.01, momentum=0.9, decay=0.0005,
+          policy="constant", max_batches=100)
+    b.conv(8, size=3, stride=2)
+    b.conv(16, size=3, stride=2)
+    b.conv(12, size=1, bn=False, act="linear", pad=1)
+    b.section("region", anchors=(1.2, 1.3, 3, 3), bias_match=1,
+              classes=1, coords=4, num=2, softmax=1, rescore=1,
+              object_scale=5, noobject_scale=1, class_scale=1,
+              coord_scale=1, thresh=.6)
+    spec = b.build()
+    params = init_params(spec, seed=0)
+    rng = np.random.default_rng(3)
+    x, t = _batch(rng, 8)
+
+    # single-device baseline: subdivisions=2 == 2 microbatches
+    sd = dataclasses.replace(
+        spec, net=dataclasses.replace(spec.net, batch=4, subdivisions=2))
+    step = jax.jit(make_train_step(sd))
+    state = TrainState([dict(p) for p in params],
+                       init_velocity(params), jnp.asarray(0))
+    key = jax.random.PRNGKey(7)
+    state, m_ref = step(state, jnp.asarray(x), jnp.asarray(t), key)
+    state, m_ref = step(state, jnp.asarray(x), jnp.asarray(t), key)
+
+    pt = PipelinedTrainer(spec, params, devices=jax.devices()[:3],
+                          n_micro=2)
+    m = pt.step(x, t, rng=key)
+    m = pt.step(x, t, rng=key)
+
+    assert np.isfinite(m["loss"])
+    np.testing.assert_allclose(m["loss"], float(m_ref["loss"]),
+                               rtol=1e-5)
+    got = pt.params
+    for i, (pg, pr) in enumerate(zip(got, state.params)):
+        for k in pr:
+            np.testing.assert_allclose(
+                np.asarray(pg[k]), np.asarray(pr[k]), rtol=2e-5,
+                atol=2e-6, err_msg=f"layer {i} key {k}")
