@@ -305,15 +305,106 @@ def main():
     except Exception as e:
         print(f"device-aug bench skipped: {e}", file=sys.stderr)
 
+    synth_tput = None
     try:
         # phase_train: the leading conv+pool pair trains with the conv
         # inside phase-split Pallas kernels (kernels/phase_train.py) —
         # measured 2828 -> 3065 img/s on the v5e (parity-tested vs the
         # production chain, tests/test_phase_train.py)
-        train_bench(tiny_yolo_voc, "tiny-yolo-416", 128,
-                    phase_train=True)
+        synth_tput = train_bench(tiny_yolo_voc, "tiny-yolo-416", 128,
+                                 phase_train=True)
     except Exception as e:
         print(f"training bench skipped: {e}", file=sys.stderr)
+
+    try:
+        # END-TO-END training from disk (the system number, not the
+        # kernel number): packed raw-u8 dataset (data/packed.py) ->
+        # mmap batch gather -> prefetch-thread device dispatch (upload
+        # overlaps the step) -> device augmentation (bf16 MXU
+        # resample) -> the SAME phase_train step as the synthetic row.
+        # Reference analog: detector.c:86-113 double-buffered
+        # load_thread feeding train_network.
+        import dataclasses
+        import tempfile
+        from sr_object_detection_tpu.data.packed import (
+            PackedDetectionLoader)
+        from sr_object_detection_tpu.train.trainer import (
+            make_train_step, TrainState)
+        from sr_object_detection_tpu.train.sgd import init_velocity
+        from sr_object_detection_tpu.utils.profiler import train_flops
+        from sr_object_detection_tpu.io.weights import fast_init_params
+
+        d = tempfile.mkdtemp(prefix="bench_packed_")
+        n, sh, sw, boxes = 512, 448, 448, 30
+        rngd = np.random.default_rng(0)
+        with open(d + "/pk.imgs", "wb") as f:
+            for _ in range(n // 64):
+                f.write(rngd.integers(
+                    0, 256, (64, sh, sw, 3), dtype=np.uint8).tobytes())
+        labs = np.zeros((n, boxes, 5), np.float32)
+        labs[:, 0] = [1, 0.5, 0.5, 0.4, 0.4]
+        labs.tofile(d + "/pk.labs")
+        with open(d + "/pk.json", "w") as f:
+            json.dump({"n": n, "h": sh, "w": sw, "c": 3,
+                       "boxes": boxes, "version": 1}, f)
+        loader = PackedDetectionLoader(d + "/pk", w=416, h=416,
+                                       batch=128, seed=0)
+        base = tiny_yolo_voc()
+        tspec = dataclasses.replace(
+            base, net=dataclasses.replace(base.net, batch=128,
+                                          subdivisions=1))
+        tparams = jax.tree.map(jnp.asarray, init_params(tspec, seed=0))
+        state = TrainState(tparams, init_velocity(tparams),
+                           jnp.asarray(0))
+        tstep = jax.jit(
+            make_train_step(tspec, compute_dtype=jnp.bfloat16,
+                            phase_train=True),
+            donate_argnums=(0,))
+        rngk = jax.random.PRNGKey(0)
+        for _ in range(3):                       # compile + warm
+            x, t = loader.next_batch()
+            state, m = tstep(state, x, jnp.asarray(t), rngk)
+        float(m["loss"])
+        steps = 50
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            x, t = loader.next_batch()
+            state, m = tstep(state, x, jnp.asarray(t), rngk)
+        float(m["loss"])
+        dt = (time.perf_counter() - t0) / steps
+        tput = 128 / dt
+        tf = train_flops(tspec)
+        frac = tput / synth_tput if synth_tput else float("nan")
+        print(f"training FROM DISK tiny-yolo-416 (packed u8 records, "
+              f"device-aug, batch 128, {steps} steps sustained): "
+              f"{tput:.0f} img/s, {tput*tf/1e12:.1f} TFLOP/s, "
+              f"MFU {100*tput*tf/PEAK:.0f}%, "
+              f"{100*frac:.0f}% of the synthetic-input rate",
+              file=sys.stderr)
+        loader.pool.shutdown(cancel_futures=True)
+        if synth_tput and tput < 0.5 * synth_tput:
+            # the gap is the DEPLOYMENT's host->device transport, not
+            # the loader: on this tunneled single-chip setup every
+            # batch ships 77 MB of u8 pixels through the axon tunnel.
+            # Measure that ceiling so the row reads as what it is.
+            up = jax.jit(lambda v: jnp.sum(v, dtype=jnp.int32))
+            canvas = rngd.integers(0, 256, (128, sh, sw, 3),
+                                   dtype=np.uint8)
+            float(up(jnp.asarray(canvas)))
+            t0 = time.perf_counter()
+            for i in range(4):
+                canvas[0, 0, 0, 0] = i
+                float(up(jnp.asarray(canvas)))
+            updt = (time.perf_counter() - t0) / 4
+            mbs = canvas.nbytes / 1e6 / updt
+            print(f"  -> transport-bound: host->device upload measures "
+                  f"{mbs:.0f} MB/s ({128/updt:.0f} img/s ceiling at "
+                  f"{sh}px u8) on this tunneled deployment — the "
+                  f"loader is at the transport roofline; the on-device "
+                  f"half of the pipeline is the device-aug row above",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"from-disk training bench skipped: {e}", file=sys.stderr)
 
     try:
         from sr_object_detection_tpu.models.zoo import yolov2

@@ -59,11 +59,25 @@ def train_detector(data_cfg: str, cfg: str, weights: str | None,
     # jitted batch program (data/device_aug.py — the host numpy
     # pipeline is ~25 img/s/core at 416px vs 4.4k img/s on device)
     device_aug = find_arg(argv, "-device-aug")
-    loader = DetectionLoader(
-        train_list, w=spec.net.w, h=spec.net.h, batch=outer,
-        classes=classes, jitter=region.jitter,
-        hue=spec.net.hue, saturation=spec.net.saturation,
-        exposure=spec.net.exposure, device_augment=device_aug)
+    # -packed <prefix>: train from a packed raw-u8 record file
+    # (data/packed.py — decode paid once at prep time; mmap gather +
+    # device augmentation at train time). -decoder process: GIL-free
+    # ProcessPool JPEG decode for the file-list path.
+    packed = find_value(argv, "-packed", None)
+    decoder = find_value(argv, "-decoder", "thread")
+    if packed:
+        from ..data.packed import PackedDetectionLoader
+        loader = PackedDetectionLoader(
+            packed, w=spec.net.w, h=spec.net.h, batch=outer,
+            jitter=region.jitter, hue=spec.net.hue,
+            saturation=spec.net.saturation, exposure=spec.net.exposure)
+    else:
+        loader = DetectionLoader(
+            train_list, w=spec.net.w, h=spec.net.h, batch=outer,
+            classes=classes, jitter=region.jitter,
+            hue=spec.net.hue, saturation=spec.net.saturation,
+            exposure=spec.net.exposure, device_augment=device_aug,
+            decoder=decoder)
 
     avg_loss = None
     dims = (spec.net.h, spec.net.w)

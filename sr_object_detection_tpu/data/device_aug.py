@@ -101,7 +101,8 @@ def _hsv_to_rgb(h, s, v):
 
 def _augment_one(img_u8, sx0, sx1, wx0, wx1, sy0, sy1, wy0, wy1,
                  flip, dhue, dsat, dexp, do_distort, *, w: int,
-                 h: int, resample: str = "gather"):
+                 h: int, resample: str = "gather",
+                 precision=None):
     """One image: edge-clamped jitter crop composed with the darknet
     two-pass bilinear (the horizontal mix happens first, matching
     resize_image_np's float order), then flip, then HSV distort. The
@@ -123,10 +124,10 @@ def _augment_one(img_u8, sx0, sx1, wx0, wx1, sy0, sy1, wy0, wy1,
         wx = jnp.zeros((wmax, w), jnp.float32)
         wx = wx.at[sx0, jnp.arange(w)].add(wx0)
         wx = wx.at[sx1, jnp.arange(w)].add(wx1)
-        rows = jnp.einsum("rH,HWc->rWc", wy, im,
-                          precision=jax.lax.Precision.HIGHEST)
-        out = jnp.einsum("rWc,Wo->roc", rows, wx,
-                         precision=jax.lax.Precision.HIGHEST)
+        prec = (jax.lax.Precision.HIGHEST if precision is None
+                else precision)
+        rows = jnp.einsum("rH,HWc->rWc", wy, im, precision=prec)
+        out = jnp.einsum("rWc,Wo->roc", rows, wx, precision=prec)
     else:
         # horizontal pass on the two needed row sets, then vertical
         # mix — the same association order as the two-pass host resize
@@ -158,7 +159,8 @@ class DeviceAugmenter:
     _KEYS = ("sx0", "sx1", "wx0", "wx1", "sy0", "sy1", "wy0", "wy1",
              "flip", "dhue", "dsat", "dexp", "do_distort")
 
-    def __init__(self, w: int, h: int, resample: str = "auto"):
+    def __init__(self, w: int, h: int, resample: str = "auto",
+                 precision: str = "exact"):
         self.w, self.h = w, h
         if resample == "auto":
             # MXU one-hot matmuls beat gathers on TPU; on CPU the
@@ -166,10 +168,21 @@ class DeviceAugmenter:
             resample = ("matmul" if jax.default_backend() == "tpu"
                         else "gather")
         self.resample = resample
+        # precision="exact": f32 HIGHEST matmuls, bit-parity with the
+        # host pipeline (the tested default). precision="fast": the
+        # MXU's native bf16-input/f32-accumulate dot — pixel values
+        # move by <~1e-3 (augmentation noise scale), the resample runs
+        # ~8x faster, and the one-hot structure keeps tap SELECTION
+        # exact (zeros and the index pattern are unaffected by input
+        # rounding). The from-disk training pipeline uses "fast" so
+        # augmentation stays off the step's critical path.
+        self.precision = precision
+        prec = (None if precision == "exact"
+                else jax.lax.Precision.DEFAULT)
         self._fn = jax.jit(jax.vmap(
             lambda img, p: _augment_one(
                 img, *(p[k] for k in self._KEYS), w=w, h=h,
-                resample=resample),
+                resample=resample, precision=prec),
             in_axes=(0, 0)))
 
     def coeffs(self, params: dict) -> dict:

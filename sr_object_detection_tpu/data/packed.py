@@ -113,6 +113,7 @@ class PackedDetectionLoader:
                  jitter: float = 0.2, hue: float = 0.1,
                  saturation: float = 1.5, exposure: float = 1.5,
                  augment: bool = True, seed: int = 0,
+                 precision: str = "fast",
                  process_index: Optional[int] = None,
                  process_count: Optional[int] = None):
         with open(prefix + ".json") as f:
@@ -133,6 +134,10 @@ class PackedDetectionLoader:
         if self.hi <= self.lo:
             raise ValueError("empty shard")
         self.w, self.h, self.batch = w, h, batch
+        # "fast" = bf16 MXU resample (device_aug precision note): the
+        # production from-disk default — augmentation noise scale,
+        # keeps the aug program off the train step's critical path
+        self.precision = precision
         self.aug = dict(jitter=jitter, hue=hue, saturation=saturation,
                         exposure=exposure, augment=augment)
         self.rng = np.random.default_rng(seed)
@@ -147,19 +152,29 @@ class PackedDetectionLoader:
         """Multi-scale hook (detector.c:91-109)."""
         self.w, self.h = w, h
 
-    def _augmenter(self):
+    def _augmenter(self, w: int, h: int):
         from . import device_aug as DA
-        key = (self.w, self.h)
+        key = (w, h)
         if key not in self._augmenters:
-            self._augmenters[key] = DA.DeviceAugmenter(self.w, self.h)
+            self._augmenters[key] = DA.DeviceAugmenter(
+                w, h, precision=self.precision)
         return self._augmenters[key]
 
     def _host_batch(self):
-        """Everything host-side for one batch: record gather (memcpy
-        out of the page cache), aug param draw, label correction."""
+        """One batch end-to-end from the prefetch thread: record
+        gather (memcpy out of the page cache), aug param draw, label
+        correction, then the device dispatch itself (canvas upload +
+        jitted augmentation) — enqueueing from the prefetch thread
+        overlaps the host->device transfer with the main thread's
+        train step (JAX dispatch is thread-safe)."""
         from . import device_aug as DA
         from . import augment as A
-        aug = self._augmenter()
+        # capture the target dims ONCE: set_dims (multi-scale) can fire
+        # from the main thread mid-flight; a single read keeps the
+        # batch internally consistent and the dims tag truthful, so the
+        # next_batch redraw check actually catches the resize
+        w, h = self.w, self.h
+        aug = self._augmenter(w, h)
         sh, sw = self.hdr["h"], self.hdr["w"]
         idx = self.rng.integers(self.lo, self.hi, size=self.batch)
         canvas = np.ascontiguousarray(self.imgs[idx])
@@ -184,15 +199,15 @@ class PackedDetectionLoader:
                                       row[0]]
                     kept += 1
         arrays = {k: np.stack(v) for k, v in cols.items()}
-        return canvas, arrays, truth, (self.w, self.h)
+        x = aug(canvas, arrays)
+        return x, truth, (w, h)
 
     def next_batch(self):
         """(x NHWC float32 on device, truth (B,boxes,5)); prefetches."""
-        canvas, arrays, truth, (w, h) = self._pending.result()
+        x, truth, (w, h) = self._pending.result()
         self._pending = self.pool.submit(self._host_batch)
         if (w, h) != (self.w, self.h):     # resized mid-flight: redraw
-            canvas, arrays, truth, _ = self._host_batch()
-        x = self._augmenter()(canvas, arrays)
+            x, truth, _ = self._host_batch()
         return x, truth
 
     def __iter__(self) -> Iterator:
