@@ -53,6 +53,23 @@ def main():
           f"MFU {100*ips*flops/PEAK:.0f}% of v5e bf16 peak",
           file=sys.stderr)
 
+    try:
+        # bf16 phase-split fused stem (kernels/phase_train.py
+        # build_bf16_stem — the bf16 sibling of the int8 headline
+        # stem): leading conv+pool pairs fused, full-res conv
+        # activations never reach HBM
+        engp = ThroughputEngine(spec, params, batch=batch,
+                                dtype=jnp.bfloat16, phase_stem=True)
+        if engp.phase_stem:
+            rp_ = engp.benchmark(iters=30)
+            pips = rp_["images_per_sec"]
+            print(f"throughput bf16 phase-stem: {pips:.0f} img/s "
+                  f"(batch {batch}), {pips*flops/1e12:.1f} TFLOP/s, "
+                  f"MFU {100*pips*flops/PEAK:.0f}% of v5e bf16 peak "
+                  f"({pips/ips:.2f}x bf16)", file=sys.stderr)
+    except Exception as e:
+        print(f"bf16 phase-stem bench skipped: {e}", file=sys.stderr)
+
     # int8 serving mode (infer/quant.py): symmetric PTQ, head conv +
     # decode stay float; accuracy-gated by tests/test_quant.py::
     # test_int8_map_delta (gate: mAP within 0.05 of f32 on the A/B

@@ -135,6 +135,9 @@ def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None,
     activation never reaches HBM in forward or backward. Leading pair
     only: its input is the network input, whose gradient is never
     needed (the fused backward returns a DCE'd zero input cotangent).
+    phase_train="chain" additionally fuses the SECOND pair (input
+    gradient via the dy+dgrad kernels) — measured slower on v5e (see
+    the inline note), opt-in for memory-bound callers.
     """
     trees = trees or {}
     layers = spec.layers
@@ -144,23 +147,43 @@ def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None,
     # statically fusable (conv, pool) training-stem pairs
     fusable: set[int] = set()
     phase_pair = False
+    phase_chain = False
     if phase_train and compute_dtype == jnp.bfloat16:
         from ..kernels import phase_train as PT
         if jax.default_backend() != "tpu" and not PT._INTERPRET:
             phase_train = False
+
+    def _phase_pair_ok(ci: int) -> bool:
+        if ci + 1 >= len(layers):
+            return False
+        l, nxt = layers[ci], layers[ci + 1]
+        return (isinstance(l, S.ConvSpec) and l.batch_normalize
+                and l.size == 3 and l.stride == 1 and l.pad == 1
+                and l.activation == "leaky" and not l.xnor
+                and not l.binary
+                and isinstance(nxt, S.MaxPoolSpec)
+                and nxt.size == 2 and nxt.stride == 2 and nxt.pad == 0)
+
     if phase_train and compute_dtype == jnp.bfloat16 and len(layers) > 1:
         from ..kernels import phase_train as PT
-        l0, nxt = layers[0], layers[1]
-        if (isinstance(l0, S.ConvSpec) and l0.batch_normalize
-                and l0.size == 3 and l0.stride == 1 and l0.pad == 1
-                and l0.activation == "leaky" and not l0.xnor
-                and not l0.binary
-                and isinstance(nxt, S.MaxPoolSpec)
-                and nxt.size == 2 and nxt.stride == 2 and nxt.pad == 0
-                and 0 not in keep
+        l0 = layers[0]
+        if (_phase_pair_ok(0) and 0 not in keep
                 and PT.plan_pair(l0.h, l0.w, l0.c, l0.filters)
                 is not None):
             phase_pair = True
+        # the two-pair chain (pair 0 at P=4 -> pair 1 at P=2, dx via
+        # the dy+dgrad kernels). OPT-IN (phase_train="chain"), not the
+        # default: measured a 4.6% REGRESSION vs pair-1-only on v5e
+        # (2940 vs 3081 img/s, tiny-yolo-416 B=128) — pair 1 needs an
+        # input gradient, so the chain materializes full-res dy to HBM
+        # (the same bytes the fusion saves on the activation) and adds
+        # a 4th conv recompute; pair 0's factored-wgrad trick (no dy
+        # at all) is what made pair 1 a win. Kept parity-tested for
+        # callers whose memory (not step time) binds.
+        if (phase_pair and phase_train == "chain" and _phase_pair_ok(2)
+                and not (keep & {1, 2})
+                and PT.supported_chain(l0, layers[2], 128)):
+            phase_chain = True
     if fused_stem and compute_dtype == jnp.bfloat16:
         from ..kernels import fused_stem as FS
         # Mosaic kernels only run on TPU (interpret mode is the CPU
@@ -192,6 +215,24 @@ def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None,
 
         for i, l in enumerate(layers):
             if i in consumed:
+                continue
+            if (i == 0 and phase_chain and train and cur.ndim == 4
+                    and cur.shape[0] == 128):
+                # leading TWO pairs chained in the phase layout: both
+                # full-res conv activations stay out of HBM; pair 1's
+                # input gradient runs through the dy+dgrad kernels
+                # (kernels/phase_train.py phase_train_chain2)
+                from ..kernels.phase_train import phase_train_chain2
+                cur, bn0, bn2 = phase_train_chain2(
+                    _as_nhwc(cur, l), params[0], l, params[2],
+                    layers[2])
+                bn_updates[0] = bn0
+                bn_updates[2] = bn2
+                from jax.ad_checkpoint import checkpoint_name
+                cur = checkpoint_name(cur, "layer3_out")
+                consumed.update((1, 2, 3))
+                if 3 in keep or keep_all or 3 == out_idx:
+                    saved[3] = cur
                 continue
             if (i == 0 and phase_pair and train and cur.ndim == 4
                     and cur.shape[0] == 128):

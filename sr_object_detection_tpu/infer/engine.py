@@ -270,7 +270,7 @@ class ThroughputEngine:
     def __init__(self, spec: S.NetworkSpec, params, *, batch: int = 64,
                  dtype=jnp.bfloat16, fold_bn: bool = True,
                  fuse_pool: bool = False, align_head: bool = False,
-                 presplit: bool = False):
+                 presplit: bool = False, phase_stem: bool = False):
         # fuse_pool: polyphase conv+pool rewrite (fuse_conv_pool). Exact
         # and correctness-tested, but MEASURED SLOWER on v5e (XLA's
         # native small-channel conv path beats the 1.78x-MACs polyphase
@@ -316,8 +316,31 @@ class ThroughputEngine:
                                 presplit_flat=(presplit == "flat"))),
                     cfg_path=self.spec.cfg_path)
                 self.presplit = True
-        compiled = CompiledNetwork(self.spec, compute_dtype=dtype)
-        fwd = compiled.forward
+        fwd = None
+        self.phase_stem = False
+        if (phase_stem and dtype == jnp.bfloat16 and batch == 128
+                and fold_bn):
+            # bf16 phase-split fused stem (kernels/phase_train.py
+            # build_bf16_stem): the leading conv+pool pairs never
+            # materialize the full-res conv activation — the bf16
+            # sibling of the int8 serving headline kernel
+            from ..kernels import phase_train as PTK
+            if jax.default_backend() == "tpu" or PTK._INTERPRET:
+                stem_fn, n = PTK.build_bf16_stem(self.spec, self.params)
+                if stem_fn is not None:
+                    from ..kernels.b1_stem import truncate_spec
+                    tail = CompiledNetwork(truncate_spec(self.spec, n),
+                                           compute_dtype=dtype)
+                    tail_params = self.params[n:]
+
+                    def fwd(params, x, _s=stem_fn, _t=tail,
+                            _tp=tail_params):
+                        return _t.forward(_tp, _s(x))
+
+                    self.phase_stem = True
+        if fwd is None:
+            compiled = CompiledNetwork(self.spec, compute_dtype=dtype)
+            fwd = compiled.forward
 
         @jax.jit
         def run(params, x):

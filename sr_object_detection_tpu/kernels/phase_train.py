@@ -68,7 +68,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.conv import BN_EPS
 from .phase_stem import (_LANE, _groups, _pack_lhs, _pack_mode, halo_pad,
-                         halo_rows, to_phase)
+                         halo_rows)
 
 _INTERPRET = False
 _VMEM_BUDGET = 11 * 1024 * 1024
@@ -106,7 +106,7 @@ def to_phase_np(q_nhwc, P: int):
 
 
 def _vmem_train(C, Cout, P, WP, RP, WS, pack_dr, pack_pp):
-    PW = P * (WP + 2) * _LANE
+    PW = P * WP * _LANE
     WSL = WS * _LANE
     NR = 4 if pack_dr else 3
     NC = 4 if pack_pp else 3
@@ -133,14 +133,21 @@ def plan_pair(H: int, W: int, C: int, Cout: int, P: int = 2):
     H2 = H // 2
     pack_dr, pack_pp = _pack_mode(C, Cout)
     best = None
+    best_score = None
     for rp in range(1, min(H2, 16) + 1):
         if H2 % rp or (2 * rp * C) % 8:
             continue
         for ws in [w for w in range(WP, 0, -1) if WP % w == 0]:
             if _vmem_train(C, Cout, P, WP, rp, ws,
                            pack_dr, pack_pp) <= _VMEM_BUDGET:
-                if best is None or rp > best[0]:
-                    best = (rp, ws)
+                # window width FIRST (up to 8 chunks — WSL>=1024 keeps
+                # the dots and stores out of overhead land; the r4
+                # profile caught RP-first picking RP=2/WS=2 at pair-2
+                # geometry, 256-lane dots ~3x slower than RP=1/WS=8),
+                # THEN rows (halo amortization), then the rest of ws
+                score = (min(ws, 8), rp, ws)
+                if best_score is None or score > best_score:
+                    best, best_score = (rp, ws), score
                 break
     if best is None:
         return None
@@ -152,15 +159,30 @@ def plan_pair(H: int, W: int, C: int, Cout: int, P: int = 2):
 # ------------------------------------------------------------ kernels
 
 def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
-                  pack_pp):
+                  pack_pp, dp_3d=False, with_wgrad=False):
     """Grid (NB, P//2, NCH). Shared structure: stage the tap union,
     recompute the four pool-variant conv outputs (bf16-rounded f32),
     then the per-mode epilogue. kc rows (f32, (7*Cout, 1)):
-    0 shift, 1 mean, 2 inv(=1/(sqrt(var)+BN_EPS)), 3 scales
-    (4-6 reserved); bias_b: (Cout, 1) bf16."""
+    0 shift, 1 mean, 2 inv(=1/(sqrt(var)+BN_EPS)), 3 scales,
+    4-6 c1/c2/c3 (the hand-written BN-backward constants, "dy" mode
+    only); bias_b: (Cout, 1) bf16.
+
+    Modes: "stats" (shifted moments), "fwd" (pooled activation),
+    "bwd" (BN reductions + FACTORED weight-gradient dots), "dy"
+    (materialize the full-resolution BN-backward cotangent dy =
+    dz*c1 + (y-mean)*c2 + c3, bf16, phase-major (P, H*Cout, WPL) —
+    the input of the dgrad kernel; needs c1..c3, so it runs AFTER the
+    "bwd" reductions)."""
     if mode == "bwd":
         x_ref, h_ref, w_ref, kc_ref, bb_ref, dp_ref, o_ref, ow_ref, \
             rhs_ref, dy_ref = refs
+    elif mode == "dy" and with_wgrad:
+        x_ref, h_ref, w_ref, kc_ref, bb_ref, dp_ref, o_ref, ow_ref, \
+            rhs_ref, dy_ref = refs
+    elif mode in ("dy", "red"):
+        x_ref, h_ref, w_ref, kc_ref, bb_ref, dp_ref, o_ref, \
+            rhs_ref = refs
+        ow_ref = dy_ref = None
     else:
         x_ref, h_ref, w_ref, kc_ref, bb_ref, o_ref, rhs_ref, \
             dy_ref = refs
@@ -169,7 +191,8 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
     q = pl.program_id(1)
     mc = pl.program_id(2)
     WSL = WS * _LANE
-    BW = (WP + 2) * _LANE
+    WPL = WP * _LANE
+    NCH = WP // WS
     NR = 4 if pack_dr else 3
     NC = 4 if pack_pp else 3
     groups = _groups(pack_dr, pack_pp)
@@ -179,10 +202,11 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
     def kc(r):
         return kc_ref[r * Cout:(r + 1) * Cout, :]     # (Cout, 1) f32
 
-    if mode in ("stats", "bwd"):
+    if mode in ("stats", "bwd", "red") or (mode == "dy" and with_wgrad):
         @pl.when((i == 0) & (q == 0) & (mc == 0))
         def _():
-            o_ref[...] = jnp.zeros_like(o_ref)
+            if mode != "dy":
+                o_ref[...] = jnp.zeros_like(o_ref)
             if ow_ref is not None:
                 ow_ref[...] = jnp.zeros_like(ow_ref)
     if mode == "bwd":
@@ -198,18 +222,35 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
         return lambda ds: x_ref[r * C:(r + 1) * C, ds]
 
     def col_start(c):
+        # PAD-FREE layout: column class c in [-1, P] reads phase block
+        # (c mod P) at chunk mc*WS + c//P. Out-of-image columns are NOT
+        # padded in HBM; the one boundary chunk a dlt!=0 slab drags in
+        # (the neighbour phase's data, in-bounds but wrong) is zeroed
+        # by stage()'s @pl.when edge patches instead.
         blk = lax.rem(c + P, P)
         dlt = lax.div(c - blk, P)
         return pl.multiple_of(
-            blk * BW + (1 + dlt) * _LANE + mc * WSL, _LANE)
+            blk * WPL + (mc * WS + dlt) * _LANE, _LANE)
 
     def stage(rp, dr0, pp0):
         for ri in range(NR):
             r = row(2 * rp + dr0 + ri - 1)
             for ci in range(NC):
                 c = 2 * q + (pp0 + ci - 1)
-                rhs_ref[(ri * NC + ci) * C:(ri * NC + ci + 1) * C,
-                        :] = r(pl.ds(col_start(c), WSL))
+                rows = slice((ri * NC + ci) * C, (ri * NC + ci + 1) * C)
+                rhs_ref[rows, :] = r(pl.ds(col_start(c), WSL))
+                # image-edge zero splices: c == -1 (leftmost tap of the
+                # first chunk) / c == P (rightmost tap of the last)
+                if pp0 + ci == 0:
+                    @pl.when((q == 0) & (mc == 0))
+                    def _():
+                        rhs_ref[rows, 0:_LANE] = jnp.zeros(
+                            (C, _LANE), rhs_ref.dtype)
+                if pp0 + ci == 3:
+                    @pl.when((q == P // 2 - 1) & (mc == NCH - 1))
+                    def _():
+                        rhs_ref[rows, WSL - _LANE:WSL] = jnp.zeros(
+                            (C, _LANE), rhs_ref.dtype)
 
     for rp in range(RP):
         # ---- recompute the four variant conv outputs (bf16) --------
@@ -258,7 +299,14 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
             continue
 
         # ---- backward: first-max routing + bf16-rounded leaky bwd --
-        g_ct = dp_ref[rp * Cout:(rp + 1) * Cout, :].astype(jnp.float32)
+        if dp_3d:
+            # chained-pair dp: the dgrad kernel's phase-major output
+            # (P_pool, H2*Cout, WPL), block (1, RP*Cout, WSL) at (q,i,mc)
+            g_ct = dp_ref[0, rp * Cout:(rp + 1) * Cout,
+                          :].astype(jnp.float32)
+        else:
+            g_ct = dp_ref[rp * Cout:(rp + 1) * Cout,
+                          :].astype(jnp.float32)
         m = av[0].astype(jnp.float32)
         for k in range(1, 4):
             m = jnp.maximum(m, av[k].astype(jnp.float32))
@@ -273,8 +321,40 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
                 jnp.bfloat16).astype(jnp.float32)
             dz[k] = jnp.where(zpos[k], da, neg)
 
-        # mode == "bwd": BN reductions + the three factored weight-
-        # gradient dots in the same pass
+        if mode == "dy":
+            # materialize the full-res conv cotangent: identical f32
+            # expression + bf16 round as ops/conv._bn_core_fast_bwd
+            # (dx = d*c1 + xm*c2 + c3); c1..c3 computed OUTSIDE from
+            # the "red"/"bwd" pass reductions (kc rows 4-6)
+            c1v, c2v, c3v = kc(4), kc(5), kc(6)
+            dyv = {}
+            for dr in range(2):
+                for pp in range(2):
+                    k = dr * 2 + pp
+                    dyv[k] = (dz[k] * c1v + xm[k] * c2v + c3v).astype(
+                        jnp.bfloat16)
+                    o_ref[pp, (2 * rp + dr) * Cout:
+                          (2 * rp + dr + 1) * Cout, :] = dyv[k]
+            if with_wgrad:
+                # DIRECT weight gradient off the materialized dy
+                # (dw = sum x (x) dy, conv wgrad exactly as production
+                # computes it) — cheaper than the factored form's
+                # 2*Mg+8-column dots when dy exists anyway
+                for g, ((dr0, pp0), variants) in enumerate(groups):
+                    for vi, (dr, pp) in enumerate(variants):
+                        dy_ref[vi * Cout:(vi + 1) * Cout, :] = \
+                            dyv[dr * 2 + pp]
+                    if len(groups) > 1:
+                        stage(rp, dr0, pp0)
+                    acc = lax.dot_general(
+                        rhs_ref[...], dy_ref[...],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (KK, Mg)
+                    ow_ref[:, g * Mg:(g + 1) * Mg] += acc
+            continue
+
+        # modes "bwd"/"red": the BN reductions; "bwd" adds the three
+        # factored weight-gradient dots in the same pass
         s0 = s1 = None
         for k in range(4):
             s0 = dz[k] if s0 is None else s0 + dz[k]
@@ -282,6 +362,8 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
             s1 = t if s1 is None else s1 + t
         o_ref[0:Cout, :] += s0
         o_ref[Cout:2 * Cout, :] += s1
+        if mode == "red":
+            continue
         MW = 2 * Mg + 8
         for g, ((dr0, pp0), variants) in enumerate(groups):
             for vi, (dr, pp) in enumerate(variants):
@@ -297,9 +379,10 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
             ow_ref[:, g * MW:(g + 1) * MW] += acc
 
 
-def _run(mode, geom: Geom, xp, halo, wpk, kc, bias_b, dp=None):
+def _run(mode, geom: Geom, xp, halo, wpk, kc, bias_b, dp=None,
+         dp_3d=False, with_wgrad=False):
     g = geom
-    PW = g.P * (g.WP + 2) * _LANE
+    PW = g.P * g.WP * _LANE
     WSL = g.WS * _LANE
     NR = 4 if g.pack_dr else 3
     NC = 4 if g.pack_pp else 3
@@ -321,13 +404,18 @@ def _run(mode, geom: Geom, xp, halo, wpk, kc, bias_b, dp=None):
     args = [xp, halo, wpk, kc, bias_b]
     nch = g.NCH
     MW = 2 * Mg + 8
-    if mode == "bwd":
-        in_specs.append(pl.BlockSpec(
-            (g.RP * g.Cout, WSL),
-            lambda i, q, mc, _n=nch: (i, q * _n + mc)))
+    if mode in ("bwd", "dy", "red"):
+        if dp_3d:
+            in_specs.append(pl.BlockSpec(
+                (1, g.RP * g.Cout, WSL),
+                lambda i, q, mc: (q, i, mc)))
+        else:
+            in_specs.append(pl.BlockSpec(
+                (g.RP * g.Cout, WSL),
+                lambda i, q, mc, _n=nch: (i, q * _n + mc)))
         args.append(dp)
 
-    if mode == "stats":
+    if mode in ("stats", "red"):
         out_shape = jax.ShapeDtypeStruct((2 * g.Cout, WSL), jnp.float32)
         out_spec = pl.BlockSpec((2 * g.Cout, WSL),
                                 lambda i, q, mc: (0, 0))
@@ -337,6 +425,21 @@ def _run(mode, geom: Geom, xp, halo, wpk, kc, bias_b, dp=None):
         out_spec = pl.BlockSpec(
             (g.RP * g.Cout, WSL),
             lambda i, q, mc, _n=nch: (i, q * _n + mc))
+    elif mode == "dy":
+        # full-res dy, PHASE-MAJOR (P, H*Cout, WPL): the leading dim
+        # is untiled (a (rows, WSL) tile per phase plane) so the tiny
+        # P extent costs no sublane padding; the dgrad kernel fetches
+        # both phase planes of a row block in one BlockSpec
+        out_shape = jax.ShapeDtypeStruct(
+            (g.P, g.H * g.Cout, g.WP * _LANE), jnp.bfloat16)
+        out_spec = pl.BlockSpec(
+            (2, 2 * g.RP * g.Cout, WSL),
+            lambda i, q, mc: (q, i, mc))
+        if with_wgrad:
+            out_shape = (out_shape, jax.ShapeDtypeStruct(
+                (KK, G * Mg), jnp.float32))
+            out_spec = (out_spec, pl.BlockSpec((KK, G * Mg),
+                                               lambda i, q, mc: (0, 0)))
     else:  # bwd: BN reductions + the factored weight-gradient dots
         out_shape = (
             jax.ShapeDtypeStruct((2 * g.Cout, WSL), jnp.float32),
@@ -347,15 +450,20 @@ def _run(mode, geom: Geom, xp, halo, wpk, kc, bias_b, dp=None):
 
     kern = functools.partial(
         _train_kernel, mode=mode, C=g.C, Cout=g.Cout, P=g.P, WP=g.WP,
-        RP=g.RP, WS=g.WS, pack_dr=g.pack_dr, pack_pp=g.pack_pp)
+        RP=g.RP, WS=g.WS, pack_dr=g.pack_dr, pack_pp=g.pack_pp,
+        dp_3d=dp_3d, with_wgrad=with_wgrad)
+    scratch = [pltpu.VMEM((KK, WSL), jnp.bfloat16)]
+    if mode == "dy" and with_wgrad:
+        scratch.append(pltpu.VMEM((Mg, WSL), jnp.bfloat16))
+    elif mode not in ("dy", "red"):
+        scratch.append(pltpu.VMEM((MW, WSL), jnp.bfloat16))
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((KK, WSL), jnp.bfloat16),
-                        pltpu.VMEM((MW, WSL), jnp.bfloat16)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * 3),
         interpret=_INTERPRET,
@@ -423,6 +531,31 @@ def _unpack_dw(raw, geom: Geom, mean, c1, c2, c3):
     return dw
 
 
+def _unpack_dw_direct(raw, geom: Geom):
+    """Assemble the DIRECT weight gradient (dw = sum x (x) dy) from
+    the (KK, G*Mg) accumulator of the "dy"+wgrad pass — the plain
+    tap-slot gather, no BN-backward constants (dy already carries
+    them)."""
+    g = geom
+    NC = 4 if g.pack_pp else 3
+    groups = _groups(g.pack_dr, g.pack_pp)
+    nv = len(groups[0][1])
+    Mg = nv * g.Cout
+    dw = jnp.zeros((3, 3, g.C, g.Cout), jnp.float32)
+    for gi, ((dr0, pp0), variants) in enumerate(groups):
+        for vi, (dr, pp) in enumerate(variants):
+            for dy in range(3):
+                for dx in range(3):
+                    ri = dy + dr - dr0
+                    ci = dx + pp - pp0
+                    rs = (ri * NC + ci) * g.C
+                    dw = dw.at[dy, dx].add(
+                        raw[rs:rs + g.C,
+                            gi * Mg + vi * g.Cout:
+                            gi * Mg + (vi + 1) * g.Cout])
+    return dw
+
+
 def _consts(shift, mean, inv, scales, c1=None, c2=None, c3=None):
     z = jnp.zeros_like(mean)
     rows = [shift, mean, inv, scales,
@@ -435,8 +568,10 @@ def _consts(shift, mean, inv, scales, c1=None, c2=None, c3=None):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _pair(geom: Geom, xp, w, scales, biases, shift):
-    """xp: phase-split bf16 input (to_phase, padded). Returns
-    (pooled phase-split PAD-FREE bf16, batch mean, batch var)."""
+    """xp: PAD-FREE phase-split bf16 input (to_phase_np layout).
+    Returns (pooled phase-split PAD-FREE bf16, batch mean, batch var).
+    A pooled output at P is directly the next pair's input at P//2 —
+    a K-pair chain relayouts NOTHING between pairs."""
     out, _ = _pair_fwd(geom, xp, w, scales, biases, shift)
     return out
 
@@ -459,17 +594,28 @@ def _pair_fwd(geom: Geom, xp, w, scales, biases, shift):
     return (pooled, mean, var), (xp, w, scales, biases, mean, var)
 
 
-def _pair_bwd(geom: Geom, res, gct):
-    g = geom
-    xp, w, scales, biases, mean, var = res
-    dp = gct[0].astype(jnp.bfloat16)    # dmean/dvar ignored (like
+def _pair_grads(g: Geom, dg, xp, w, scales, biases, mean, var, gpooled,
+                *, dp_3d: bool = False, want_dx: bool = False):
+    """Shared backward body: factored "bwd" pass -> (dw, dscales,
+    dbiases[, dxp]). want_dx adds the "dy" materialization pass + the
+    dgrad kernel (dg: DgradGeom) and returns dxp in the PHASE-MAJOR
+    (P, H*C, WP*128) layout — the next-lower pair's dp_3d input."""
+    dp = gpooled.astype(jnp.bfloat16)   # dmean/dvar ignored (like
     n = g.H * g.W * _LANE               # _bn_core / fused_stem)
     halo = halo_rows(xp, g.H, g.C, g.RP, g.NB)
     wpk = _pack_w(w, g)
     bias_b = biases.astype(jnp.bfloat16).reshape(-1, 1)
     inv = 1.0 / (jnp.sqrt(var) + BN_EPS)
     kc = _consts(mean, mean, inv, scales)
-    S, raw = _run("bwd", g, xp, halo, wpk, kc, bias_b, dp=dp)
+    if want_dx:
+        # reductions only — the weight gradient rides the "dy" pass
+        # below as a DIRECT sum x (x) dy (cheaper than the factored
+        # 2*Mg+8-column dots once dy is materialized anyway)
+        S = _run("red", g, xp, halo, wpk, kc, bias_b, dp=dp,
+                 dp_3d=dp_3d)
+    else:
+        S, raw = _run("bwd", g, xp, halo, wpk, kc, bias_b, dp=dp,
+                      dp_3d=dp_3d)
     dbiases = jnp.sum(S[0:g.Cout], axis=1)
     dscales = jnp.sum(S[g.Cout:], axis=1)
     # hand-written BN backward constants (batchnorm_layer.c:147-157 /
@@ -482,12 +628,271 @@ def _pair_bwd(geom: Geom, res, gct):
     c1 = scales / (jnp.sqrt(var) + EPS_B)
     c2 = variance_delta * 2.0 / n
     c3 = mean_delta / n
-    dw = _unpack_dw(raw, g, mean, c1, c2, c3).astype(w.dtype)
-    return (jnp.zeros_like(xp), dw, dscales.astype(scales.dtype),
-            dbiases.astype(biases.dtype), jnp.zeros_like(mean))
+    if not want_dx:
+        dw = _unpack_dw(raw, g, mean, c1, c2, c3).astype(w.dtype)
+        return (dw, dscales.astype(scales.dtype),
+                dbiases.astype(biases.dtype), None)
+    # the input gradient: materialize the full-res conv cotangent
+    # (mode "dy" — needs c1..c3, hence after the reductions) with the
+    # direct weight gradient in the same pass, then the phase dgrad
+    # kernel (dx = dy (*) w^T, kernels below)
+    kc7 = _consts(mean, mean, inv, scales, c1, c2, c3)
+    dy3, raw = _run("dy", g, xp, halo, wpk, kc7, bias_b, dp=dp,
+                    dp_3d=dp_3d, with_wgrad=True)
+    dw = _unpack_dw_direct(raw, g).astype(w.dtype)
+    dx3 = _run_dgrad(dg, dy3, w)
+    return (dw, dscales.astype(scales.dtype),
+            dbiases.astype(biases.dtype), dx3)
+
+
+def _pair_bwd(geom: Geom, res, gct):
+    xp, w, scales, biases, mean, var = res
+    dw, ds, db, _ = _pair_grads(geom, None, xp, w, scales, biases,
+                                mean, var, gct[0])
+    return (jnp.zeros_like(xp), dw, ds, db, jnp.zeros_like(mean))
 
 
 _pair.defvjp(_pair_fwd, _pair_bwd)
+
+
+# --------------------------------------------------- phase dgrad conv
+# dx = dy (*) w^T over the pad-free phase layout (P=2): structurally
+# the forward conv with flipped taps, M-packed with ROW-OFFSET x PHASE
+# variants instead of pool variants (RV rows x P phases x C fills the
+# 128-row MXU tile at C=16). All staging offsets are STATIC — the dy
+# operand arrives PHASE-MAJOR (P, H*Cout, WP*128) from mode "dy" (the
+# leading dim is untiled, so P=2 costs no sublane padding) and the
+# cross-chunk column taps come from two thin sidebands instead of a
+# padded layout: a row halo (halo_rows) and a per-chunk-window column
+# halo (_dy_side_cols), both built by XLA slice stacks.
+
+class DgradGeom(NamedTuple):
+    H: int
+    WP: int
+    C: int
+    Cout: int
+    P: int
+    RV: int
+    WS: int
+    NB: int
+    NCH: int
+
+
+_VMEM_DGRAD = 10 * 1024 * 1024
+
+
+def plan_dgrad(H: int, W: int, C: int, Cout: int, P: int = 2):
+    """Geometry for the dgrad kernel (P=2 only), or None."""
+    if P != 2 or W % P or H % 2:
+        return None
+    WP = W // P
+    RV = max(2, min(8, 128 // (P * C)))
+    RV -= RV % 2
+    while RV >= 2 and H % RV:
+        RV -= 2
+    if RV < 2:
+        return None
+    HP = halo_pad(Cout)
+    K = (RV + 2) * 4 * Cout
+    for WS in [w for w in range(WP, 0, -1) if WP % w == 0]:
+        WSL = WS * _LANE
+        v = (2 * (P * RV * Cout * WSL * 2)        # dy block (dbuf)
+             + 2 * (P * HP * WSL * 2)             # row halo
+             + 2 * (P * RV * Cout * 2 * _LANE * 2)   # col body
+             + 2 * (P * HP * 2 * _LANE * 2)       # col halo
+             + 2 * (P * RV * C * WSL * 2)         # dx out
+             + K * WSL * 2                        # rhs scratch
+             + P * RV * C * K * 2                 # packed lhs
+             + P * RV * C * WSL * 4)              # f32 dot result
+        if v <= _VMEM_DGRAD:
+            return DgradGeom(H, WP, C, Cout, P, RV, WS, H // RV,
+                             WP // WS)
+    return None
+
+
+# (phase, chunk delta) of the four column-tap classes c = cs-1 in
+# [-1, 2]: image col b' = j*P + c -> c=-1 is (phase 1, chunk j-1),
+# c=2 is (phase 0, chunk j+1)
+_DG_CSL = ((1, -1), (0, 0), (1, 0), (0, 1))
+
+
+def _pack_w_dgrad(w, C: int, Cout: int, RV: int, P: int = 2):
+    """Traced lhs pack: dx[a+v, class p, i] = sum_{ty,tx,o}
+    dy[a+v-ty+1, class p-tx+1, o] * w[ty,tx,i,o]; variant (v,p) lands
+    w[ty,tx] at (row slot v-ty+2, col slot p-tx+2)."""
+    wb = w.astype(jnp.bfloat16)
+    L = jnp.zeros((RV * P * C, (RV + 2) * 4 * Cout), jnp.bfloat16)
+    for v in range(RV):
+        for p in range(P):
+            for ty in range(3):
+                for tx in range(3):
+                    rs = v - ty + 2
+                    cs = p - tx + 2
+                    L = lax.dynamic_update_slice(
+                        L, wb[ty, tx],
+                        ((v * P + p) * C, (rs * 4 + cs) * Cout))
+    return L
+
+
+def _halo_rows_3d(t3, H: int, C: int, RP: int, NB: int):
+    """halo_rows over the PHASE-MAJOR 3-D layout: (P, H*C, L) ->
+    (P, NB*HP, L), block i holding rows 2*RP*i-1 / 2*RP*(i+1) (zeros
+    out of image). Middle-dim slices — slicing dy3[p] planes instead
+    materialized TWO full copies of dy (1.08 ms at 416px, r4
+    profile)."""
+    P, _, Lw = t3.shape
+    HP = halo_pad(C)
+    zero = jnp.zeros((P, C, Lw), t3.dtype)
+    zpad = (jnp.zeros((P, HP - 2 * C, Lw), t3.dtype)
+            if HP > 2 * C else None)
+    out = []
+    for i in range(NB):
+        t = 2 * RP * i - 1
+        b = 2 * RP * (i + 1)
+        out.append(t3[:, t * C:(t + 1) * C] if t >= 0 else zero)
+        out.append(t3[:, b * C:(b + 1) * C] if b < H else zero)
+        if zpad is not None:
+            out.append(zpad)
+    return jnp.concatenate(out, axis=1)
+
+
+def _dy_side_cols(dy3, WS: int):
+    """(P, H*Cout, WP*128) -> (P, H*Cout, NCH*2*128): per chunk window
+    mc the two cross-window tap chunks [mc*WS-1, mc*WS+WS] per phase
+    (zeros at the image edges — the kernel reads them unconditionally,
+    no @pl.when patches needed)."""
+    P, rows, WPL = dy3.shape
+    WP = WPL // _LANE
+    NCH = WP // WS
+    t = dy3.reshape(P, rows, WP, _LANE)
+    z = jnp.zeros((P, rows, 1, _LANE), dy3.dtype)
+    cols = []
+    for mc in range(NCH):
+        cols.append(t[:, :, mc * WS - 1:mc * WS] if mc else z)
+        r = (mc + 1) * WS
+        cols.append(t[:, :, r:r + 1] if r < WP else z)
+    return jnp.concatenate(cols, axis=2).reshape(P, rows,
+                                                 NCH * 2 * _LANE)
+
+
+def _dgrad_kernel(dy_ref, rh_ref, cb_ref, ch_ref, w_ref, o_ref,
+                  rhs_ref, *, C, Cout, RV, WS, P):
+    """Grid (NB, NCH). One step: RV dx rows x both phases x WS chunks.
+    dy rows RV*i-1 .. RV*(i+1) come from the block (interior), the
+    row-halo sideband (rs 0 / RV+1), and the column sidebands (the
+    one-chunk window margins)."""
+    WSL = WS * _LANE
+
+    def body(rs, ph, sl):
+        if rs == 0:
+            return rh_ref[ph, 0:Cout, sl]
+        if rs == RV + 1:
+            return rh_ref[ph, Cout:2 * Cout, sl]
+        return dy_ref[ph, (rs - 1) * Cout:rs * Cout, sl]
+
+    def side(rs, ph, sl):
+        if rs == 0:
+            return ch_ref[ph, 0:Cout, sl]
+        if rs == RV + 1:
+            return ch_ref[ph, Cout:2 * Cout, sl]
+        return cb_ref[ph, (rs - 1) * Cout:rs * Cout, sl]
+
+    for rs in range(RV + 2):
+        for cs, (ph, dj) in enumerate(_DG_CSL):
+            rows = slice((rs * 4 + cs) * Cout, (rs * 4 + cs + 1) * Cout)
+            if dj == 0:
+                rhs_ref[rows, :] = body(rs, ph, slice(0, WSL))
+            elif dj == -1:
+                rhs_ref[rows, _LANE:WSL] = body(rs, ph,
+                                                slice(0, WSL - _LANE))
+                rhs_ref[rows, 0:_LANE] = side(rs, ph, slice(0, _LANE))
+            else:
+                rhs_ref[rows, 0:WSL - _LANE] = body(rs, ph,
+                                                    slice(_LANE, WSL))
+                rhs_ref[rows, WSL - _LANE:WSL] = side(
+                    rs, ph, slice(_LANE, 2 * _LANE))
+    res = lax.dot_general(w_ref[...], rhs_ref[...],
+                          (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    for v in range(RV):
+        for p in range(P):
+            o_ref[p, v * C:(v + 1) * C, :] = res[
+                (v * P + p) * C:(v * P + p + 1) * C].astype(jnp.bfloat16)
+
+
+def _run_dgrad(dg: DgradGeom, dy3, w):
+    """dy3: (P, H*Cout, WP*128) bf16 phase-major (mode "dy" output).
+    Returns dx (P, H*C, WP*128) bf16 phase-major — consumed by the
+    lower pair's "bwd"/"dy" passes via dp_3d."""
+    WSL = dg.WS * _LANE
+    K = (dg.RV + 2) * 4 * dg.Cout
+    HP = halo_pad(dg.Cout)
+    RPH = dg.RV // 2
+    rh = _halo_rows_3d(dy3, dg.H, dg.Cout, RPH, dg.NB)
+    thin = _dy_side_cols(dy3, dg.WS)
+    ch = _halo_rows_3d(thin, dg.H, dg.Cout, RPH, dg.NB)
+    wd = _pack_w_dgrad(w, dg.C, dg.Cout, dg.RV, dg.P)
+    in_specs = [
+        pl.BlockSpec((dg.P, dg.RV * dg.Cout, WSL),
+                     lambda i, mc: (0, i, mc)),
+        pl.BlockSpec((dg.P, HP, WSL), lambda i, mc: (0, i, mc)),
+        pl.BlockSpec((dg.P, dg.RV * dg.Cout, 2 * _LANE),
+                     lambda i, mc: (0, i, mc)),
+        pl.BlockSpec((dg.P, HP, 2 * _LANE), lambda i, mc: (0, i, mc)),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    out_shape = jax.ShapeDtypeStruct((dg.P, dg.H * dg.C, dg.WP * _LANE),
+                                     jnp.bfloat16)
+    out_spec = pl.BlockSpec((dg.P, dg.RV * dg.C, WSL),
+                            lambda i, mc: (0, i, mc))
+    kern = functools.partial(_dgrad_kernel, C=dg.C, Cout=dg.Cout,
+                             RV=dg.RV, WS=dg.WS, P=dg.P)
+    return pl.pallas_call(
+        kern,
+        grid=(dg.NB, dg.NCH),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((K, WSL), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 2),
+        interpret=_INTERPRET,
+    )(dy3, rh, thin, ch, wd)
+
+
+# ------------------------------------------------- two-pair chain
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _chain2(g0: Geom, g1: Geom, dg: DgradGeom, xp,
+            w0, s0, b0, sh0, w1, s1, b1, sh1):
+    """Two fused pairs chained IN the phase layout (pair 0 at P=4,
+    pair 1 at P=2): pair 0's pad-free pooled output is directly pair
+    1's input — no relayout between pairs in forward or backward.
+    Backward runs pair-1 grads + the dy/dgrad passes for dx, then
+    pair-0 grads on the phase-major dx (dp_3d)."""
+    out, _ = _chain2_fwd(g0, g1, dg, xp, w0, s0, b0, sh0,
+                         w1, s1, b1, sh1)
+    return out
+
+
+def _chain2_fwd(g0, g1, dg, xp, w0, s0, b0, sh0, w1, s1, b1, sh1):
+    (p0, m0, v0), _ = _pair_fwd(g0, xp, w0, s0, b0, sh0)
+    (p1, m1, v1), _ = _pair_fwd(g1, p0, w1, s1, b1, sh1)
+    res = (xp, p0, w0, s0, b0, m0, v0, w1, s1, b1, m1, v1)
+    return (p1, m0, v0, m1, v1), res
+
+
+def _chain2_bwd(g0, g1, dg, res, gct):
+    xp, p0, w0, s0, b0, m0, v0, w1, s1, b1, m1, v1 = res
+    dw1, ds1, db1, dx1 = _pair_grads(g1, dg, p0, w1, s1, b1, m1, v1,
+                                     gct[0], want_dx=True)
+    dw0, ds0, db0, _ = _pair_grads(g0, None, xp, w0, s0, b0, m0, v0,
+                                   dx1, dp_3d=True)
+    return (jnp.zeros_like(xp), dw0, ds0, db0, jnp.zeros_like(m0),
+            dw1, ds1, db1, jnp.zeros_like(m1))
+
+
+_chain2.defvjp(_chain2_fwd, _chain2_bwd)
 
 
 def supported(spec, nxt, batch: int) -> bool:
@@ -498,9 +903,26 @@ def supported(spec, nxt, batch: int) -> bool:
             is not None)
 
 
+def supported_chain(spec0, spec2, batch: int) -> bool:
+    """Two-pair chain eligibility: pair 0 at P=4 + pair 1 at P=2 +
+    a dgrad plan for pair 1's input gradient."""
+    return (batch == _LANE
+            and plan_pair(spec0.h, spec0.w, spec0.c, spec0.filters,
+                          P=4) is not None
+            and plan_pair(spec2.h, spec2.w, spec2.c, spec2.filters,
+                          P=2) is not None
+            and plan_dgrad(spec2.h, spec2.w, spec2.c, spec2.filters)
+            is not None)
+
+
 @functools.lru_cache(maxsize=32)
-def _plan_cached(H, W, C, Cout):
-    return plan_pair(H, W, C, Cout)
+def _plan_cached(H, W, C, Cout, P=2):
+    return plan_pair(H, W, C, Cout, P)
+
+
+@functools.lru_cache(maxsize=32)
+def _plan_dgrad_cached(H, W, C, Cout):
+    return plan_dgrad(H, W, C, Cout)
 
 
 def phase_train_block(x_nhwc, params, spec):
@@ -510,7 +932,7 @@ def phase_train_block(x_nhwc, params, spec):
     production conv). Returns (pooled NHWC bf16, bn_updates dict) —
     drop-in for the conv_block + maxpool pair in train mode."""
     g = _plan_cached(spec.h, spec.w, spec.c, spec.filters)
-    xp = to_phase(x_nhwc.astype(jnp.bfloat16), g.P)
+    xp = to_phase_np(x_nhwc.astype(jnp.bfloat16), g.P)
     pooled_ph, mean, var = _pair(
         g, xp, params["weights"], params["scales"], params["biases"],
         lax.stop_gradient(params["rolling_mean"]))
@@ -522,5 +944,93 @@ def phase_train_block(x_nhwc, params, spec):
     return pooled, bn
 
 
-__all__ = ["phase_train_block", "plan_pair", "supported", "Geom",
-           "to_phase_np", "from_phase_np"]
+def _bn_roll(params, mean, var):
+    return {"rolling_mean": 0.9 * params["rolling_mean"] + 0.1 * mean,
+            "rolling_variance":
+                0.9 * params["rolling_variance"] + 0.1 * var}
+
+
+def phase_train_chain2(x_nhwc, params0, spec0, params2, spec2):
+    """The leading TWO fused [conv3x3+BN+bias+leaky, maxpool2x2/2]
+    pairs as one phase-layout chain (pair 0 at P=4 -> pair 1 at P=2).
+    Neither full-resolution conv activation reaches HBM in forward or
+    backward; pair 1's input gradient flows through the dy + dgrad
+    kernels back into pair 0's backward with no NHWC round trip.
+
+    Returns (pooled NHWC bf16 after the second pool, bn0, bn2)."""
+    g0 = _plan_cached(spec0.h, spec0.w, spec0.c, spec0.filters, 4)
+    g1 = _plan_cached(spec2.h, spec2.w, spec2.c, spec2.filters, 2)
+    dg = _plan_dgrad_cached(spec2.h, spec2.w, spec2.c, spec2.filters)
+    xp = to_phase_np(x_nhwc.astype(jnp.bfloat16), 4)
+    p1, m0, v0, m1, v1 = _chain2(
+        g0, g1, dg, xp,
+        params0["weights"], params0["scales"], params0["biases"],
+        lax.stop_gradient(params0["rolling_mean"]),
+        params2["weights"], params2["scales"], params2["biases"],
+        lax.stop_gradient(params2["rolling_mean"]))
+    out = from_phase_np(p1, spec2.h // 2, spec2.w // 2, spec2.filters,
+                        1)
+    return out, _bn_roll(params0, m0, v0), _bn_roll(params2, m1, v1)
+
+
+def build_bf16_stem(spec, params, *, max_pairs: int = 4):
+    """bf16 INFERENCE stem: the leading [conv3x3+bias+leaky,
+    maxpool2x2/2] pairs of a BN-FOLDED spec chained through the
+    pad-free phase layout, reusing the training "fwd" kernel with
+    identity BN constants (mean=0, inv=1, scales=1 -> z = y + bias,
+    exactly the folded chain's expressions; only the packed-dot f32
+    accumulation order differs from lax.conv, ~1 bf16 ulp).
+
+    Returns (stem_fn, n_consumed) or (None, 0); stem_fn takes the
+    engine input (f32/u8 NHWC, batch 128) and returns the bf16 NHWC
+    activation after the last fused pair. The serving analog of
+    kernels/phase_stem.py's int8 stem (the r3 +33% headline) for the
+    bf16 engine."""
+    from .phase_stem import plan_pairs
+    all_pairs = plan_pairs(spec, max_pairs=max_pairs)
+    geoms = []
+    for K in range(len(all_pairs), 0, -1):
+        cand = all_pairs[:K]
+        W, H = spec.layers[0].w, spec.layers[0].h
+        if W % (1 << K) or H % (1 << K):
+            continue
+        geoms = []
+        P = 1 << K
+        ok = True
+        for (ci, _pi) in cand:
+            l = spec.layers[ci]
+            g = plan_pair(l.h, l.w, l.c, l.filters, P)
+            if g is None:
+                ok = False
+                break
+            geoms.append((ci, g))
+            P //= 2
+        if ok:
+            break
+        geoms = []
+    if not geoms:
+        return None, 0
+    lastp = spec.layers[geoms[-1][0] + 1]
+    out_h, out_w, out_c = lastp.out_h, lastp.out_w, lastp.out_c
+
+    def stem_fn(x):
+        xp = to_phase_np(x.astype(jnp.bfloat16), geoms[0][1].P)
+        for ci, g in geoms:
+            p = params[ci]
+            halo = halo_rows(xp, g.H, g.C, g.RP, g.NB)
+            wpk = _pack_w(p["weights"], g)
+            one = jnp.ones((g.Cout,), jnp.float32)
+            zero = jnp.zeros((g.Cout,), jnp.float32)
+            kc = _consts(zero, zero, one, one)
+            bias_b = p["biases"].astype(jnp.bfloat16).reshape(-1, 1)
+            xp = _run("fwd", g, xp, halo, wpk, kc, bias_b)
+        return from_phase_np(xp, out_h, out_w, out_c,
+                             geoms[-1][1].P // 2)
+
+    return stem_fn, geoms[-1][0] + 2
+
+
+__all__ = ["phase_train_block", "phase_train_chain2", "plan_pair",
+           "plan_dgrad", "supported", "supported_chain", "Geom",
+           "DgradGeom", "to_phase_np", "from_phase_np",
+           "build_bf16_stem"]

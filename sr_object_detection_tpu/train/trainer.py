@@ -59,8 +59,11 @@ def _find_head(spec: S.NetworkSpec):
 def make_train_step(spec: S.NetworkSpec, *, mesh=None,
                     compute_dtype=None, remat: bool = False,
                     fused_stem: bool = False,
-                    phase_train: bool = False):
+                    phase_train=False):
     """Returns train_step(state, x, truth, rng) -> (state, metrics).
+
+    phase_train: False | True (leading fused pair) | "chain" (leading
+    TWO pairs — opt-in, measured slower on v5e; see graph/compiler.py).
 
     x: (B, H, W, C) float32 where B = net.batch * net.subdivisions
        (the full outer batch, like load_args.n in the reference).
@@ -77,7 +80,8 @@ def make_train_step(spec: S.NetworkSpec, *, mesh=None,
     fwd = build_forward(
         spec, trees=trees, compute_dtype=compute_dtype,
         fused_stem=fused_stem and (mesh is None or mesh.size == 1),
-        phase_train=phase_train and (mesh is None or mesh.size == 1))
+        phase_train=(phase_train if (mesh is None or mesh.size == 1)
+                     else False))
     head = spec.layers[head_idx]
     region_loss_ws = None
     if head_kind == "region":
