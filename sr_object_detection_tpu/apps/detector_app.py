@@ -216,22 +216,25 @@ def validate_recall(data_cfg: str, cfg: str, weights: str,
 
 def demo_detector(cfg: str, weights: str, argv: list[str]):
     """detector demo (demo.c:118-252): fetch/detect overlap + 3-frame
-    smoothing over an image-directory source (-frames) or a real video
+    smoothing over an image-directory source (-frames), a real video
     file (-video; demo.c:57's cvCaptureFromFile analog — PIL
     multi-frame containers in-process, anything else via an ffmpeg
-    rawvideo pipe)."""
+    rawvideo pipe), or a LIVE camera (-cam <index>; demo.c:57's
+    cvCaptureFromCAM analog via an ffmpeg v4l2 pipe)."""
     from ..infer.detector import Detector
     from ..robot.frame_source import (ImageDirectorySource,
-                                      VideoFileSource)
+                                      VideoFileSource, V4L2FrameSource)
     from .demo_app import StreamingDemo
     video = find_value(argv, "-video", None)
+    cam = find_value(argv, "-cam", None)
     pattern = find_value(argv, "-frames", "frames/*.ppm")
     names_file = find_value(argv, "-names", None)
     names = read_names(names_file) if names_file else None
     thresh = find_value(argv, "-thresh", 0.24, float)
     out_dir = find_value(argv, "-outdir", None)
     det = Detector(cfg, weights, names=names)
-    source = (VideoFileSource(video) if video
+    source = (V4L2FrameSource(f"/dev/video{int(cam)}") if cam is not None
+              else VideoFileSource(video) if video
               else ImageDirectorySource(pattern))
     demo = StreamingDemo(det, source, thresh=thresh, out_dir=out_dir)
 

@@ -149,8 +149,16 @@ class DetectionLoader:
         # with os.cpu_count(). Costs one pickle round-trip per frame
         # (~0.5 MB u8) — worth it whenever cpu_count > 1.
         if decoder == "process":
+            # spawn, not fork: the parent has usually initialized JAX
+            # by now, and fork()ing a multithreaded JAX process can
+            # deadlock the child (JAX emits a RuntimeWarning for
+            # exactly this). Workers only decode JPEGs — they don't
+            # need the parent's state, so spawn costs one interpreter
+            # start per worker and nothing else.
+            import multiprocessing
             self.pool: cf.Executor = cf.ProcessPoolExecutor(
-                max_workers=min(workers, os.cpu_count() or 1))
+                max_workers=min(workers, os.cpu_count() or 1),
+                mp_context=multiprocessing.get_context("spawn"))
         else:
             self.pool = cf.ThreadPoolExecutor(max_workers=workers)
         self._pending: Optional[list] = None

@@ -160,13 +160,12 @@ class PackedDetectionLoader:
                 w, h, precision=self.precision)
         return self._augmenters[key]
 
-    def _host_batch(self):
-        """One batch end-to-end from the prefetch thread: record
-        gather (memcpy out of the page cache), aug param draw, label
-        correction, then the device dispatch itself (canvas upload +
-        jitted augmentation) — enqueueing from the prefetch thread
-        overlaps the host->device transfer with the main thread's
-        train step (JAX dispatch is thread-safe)."""
+    def _host_batch_cpu(self):
+        """The HOST side of one batch: record gather (memcpy out of
+        the page cache), aug param draw, label correction. No device
+        work — exposed separately so the host pipeline's sustainable
+        rate can be measured in isolation from the deployment's
+        host->device transport (bench.py from-disk rows)."""
         from . import device_aug as DA
         from . import augment as A
         # capture the target dims ONCE: set_dims (multi-scale) can fire
@@ -199,8 +198,17 @@ class PackedDetectionLoader:
                                       row[0]]
                     kept += 1
         arrays = {k: np.stack(v) for k, v in cols.items()}
+        return aug, canvas, arrays, truth, (w, h)
+
+    def _host_batch(self):
+        """One batch end-to-end from the prefetch thread: the host side
+        (_host_batch_cpu) plus the device dispatch itself (canvas
+        upload + jitted augmentation) — enqueueing from the prefetch
+        thread overlaps the host->device transfer with the main
+        thread's train step (JAX dispatch is thread-safe)."""
+        aug, canvas, arrays, truth, dims = self._host_batch_cpu()
         x = aug(canvas, arrays)
-        return x, truth, (w, h)
+        return x, truth, dims
 
     def next_batch(self):
         """(x NHWC float32 on device, truth (B,boxes,5)); prefetches."""

@@ -153,7 +153,8 @@ class RawRGBDSource(FrameSource):
 
 
 __all__ = ["RGBDFrame", "FrameSource", "SyntheticRGBDSource",
-           "ImageDirectorySource", "RawRGBDSource", "KINECT_INTRINSICS"]
+           "ImageDirectorySource", "RawRGBDSource", "VideoFileSource",
+           "V4L2FrameSource", "KINECT_INTRINSICS"]
 
 
 class VideoFileSource(FrameSource):
@@ -236,3 +237,56 @@ class VideoFileSource(FrameSource):
                 return None
         arr = np.frombuffer(buf, np.uint8).reshape(self._h, self._w, 3)
         return RGBDFrame(color=arr, depth=None, timestamp=time.time())
+
+
+class V4L2FrameSource(FrameSource):
+    """LIVE camera capture — the cvCaptureFromCAM device-index path of
+    `detector demo` (src_yolo2/demo.c:57 cvCaptureFromCAM(cam_index))
+    and the Kinect color sensor loop (KinectUtil.cpp:171-204): streams
+    rawvideo RGB24 from a Video4Linux2 device through an
+    ``ffmpeg -f v4l2`` pipe.
+
+    No camera exists in this environment, so the input half of the
+    ffmpeg command is injectable (``_input_args``) — the test
+    substitutes an ``-f lavfi testsrc`` synthetic camera and exercises
+    the identical read loop, geometry handling, and shutdown path the
+    real device would use.
+    """
+
+    def __init__(self, device: str = "/dev/video0", *,
+                 width: int = 640, height: int = 480, fps: int = 30,
+                 _input_args: Optional[list] = None):
+        import shutil
+        import subprocess
+        if shutil.which("ffmpeg") is None:
+            raise RuntimeError("live capture needs ffmpeg on PATH")
+        if _input_args is None and not os.path.exists(device):
+            raise RuntimeError(f"no camera device {device!r}")
+        self._w, self._h = width, height
+        inp = list(_input_args) if _input_args is not None else [
+            "-f", "v4l2", "-framerate", str(fps),
+            "-video_size", f"{width}x{height}", "-i", device]
+        self._proc = subprocess.Popen(
+            ["ffmpeg", "-v", "error", *inp,
+             "-f", "rawvideo", "-pix_fmt", "rgb24",
+             "-s", f"{width}x{height}", "-"],
+            stdout=subprocess.PIPE)
+
+    def next(self) -> Optional[RGBDFrame]:
+        need = self._w * self._h * 3
+        buf = self._proc.stdout.read(need)
+        if len(buf) < need:                      # device closed / EOF
+            self.close()
+            return None
+        arr = np.frombuffer(buf, np.uint8).reshape(self._h, self._w, 3)
+        return RGBDFrame(color=arr, depth=None, timestamp=time.time())
+
+    def close(self):
+        if self._proc.poll() is None:
+            self._proc.terminate()
+            try:
+                self._proc.wait(timeout=5)
+            except Exception:
+                self._proc.kill()
+        if self._proc.stdout:
+            self._proc.stdout.close()

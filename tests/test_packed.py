@@ -112,15 +112,22 @@ def test_packed_loader_process_sharding(tmp_path):
 
 def test_detection_loader_process_decoder(tmp_path):
     """decoder='process' (ProcessPool JPEG decode) produces the same
-    batch contract as the thread decoder."""
+    batch contract as the thread decoder — and spawns its workers
+    (fork()ing a JAX-initialized parent can deadlock the child; the
+    pool must use the spawn start method, loader.py)."""
+    import warnings
     paths, _ = _make_dataset(tmp_path)
     loader = None
     try:
         from sr_object_detection_tpu.data.loader import DetectionLoader
-        loader = DetectionLoader(paths, w=64, h=64, batch=4, classes=20,
-                                 device_augment=True, decoder="process",
-                                 workers=2)
-        x, t = loader.next_batch()
+        with warnings.catch_warnings():
+            # any os.fork()-under-threads RuntimeWarning is the bug
+            warnings.filterwarnings(
+                "error", message=".*fork.*", category=RuntimeWarning)
+            loader = DetectionLoader(paths, w=64, h=64, batch=4,
+                                     classes=20, device_augment=True,
+                                     decoder="process", workers=2)
+            x, t = loader.next_batch()
         assert np.asarray(x).shape == (4, 64, 64, 3)
         assert t.shape == (4, 30, 5)
     finally:

@@ -319,6 +319,47 @@ def test_video_file_source_gif(tmp_path):
         assert src2.next() is not None
 
 
+def test_v4l2_frame_source_mocked_device(tmp_path, monkeypatch):
+    """V4L2FrameSource: the live-camera path (demo.c:57
+    cvCaptureFromCAM(cam_index)). Neither /dev/video* nor ffmpeg exists
+    in this environment, so the 'camera' is a fake ffmpeg executable on
+    PATH that streams 3 rawvideo RGB24 frames — the source's pipe read
+    loop, geometry handling, EOF and shutdown paths are the exact code
+    a real `ffmpeg -f v4l2 /dev/video0` would drive."""
+    import os
+    import stat
+    import numpy as np
+    import pytest
+    w, h, n = 64, 48, 3
+    fake = tmp_path / "ffmpeg"
+    fake.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys, os\n"
+        f"w,h,n = {w},{h},{n}\n"
+        "out = os.fdopen(1, 'wb')\n"
+        "for t in range(n):\n"
+        "    out.write(bytes([t*40 % 256]) * (w*h*3))\n"
+        "out.close()\n")
+    fake.chmod(fake.stat().st_mode | stat.S_IXUSR)
+    monkeypatch.setenv("PATH",
+                       f"{tmp_path}{os.pathsep}" + os.environ["PATH"])
+    from sr_object_detection_tpu.robot.frame_source import (
+        V4L2FrameSource)
+    src = V4L2FrameSource(
+        width=w, height=h,
+        _input_args=["-f", "lavfi", "-i", "testsrc"])
+    got = list(src)
+    assert len(got) == n
+    assert got[0].color.shape == (h, w, 3)
+    assert got[0].color.dtype == np.uint8
+    # frames differ (the fake camera varies per frame)
+    assert not np.array_equal(got[0].color, got[2].color)
+    src.close()                               # idempotent after EOF
+    # a real (absent) device fails loudly, not silently
+    with pytest.raises(RuntimeError, match="no camera device"):
+        V4L2FrameSource("/dev/video99")
+
+
 def test_demo_runs_on_video_file(tmp_path):
     """`detector demo -video clip.gif` drives the full fetch/detect
     pipeline from a video container."""
