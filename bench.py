@@ -156,7 +156,12 @@ def main():
         print(f"batch-1 on-device int8: "
               f"{drq['device_ms_per_frame']:.3f}ms/frame "
               f"({dr['device_ms_per_frame']/drq['device_ms_per_frame']:.2f}x"
-              f" bf16)", file=sys.stderr)
+              f" bf16) [RETIRED as a latency lever: B=1 is "
+              f"latency-bound, int8 adds requant ops to the chain and "
+              f"the stem's tap-shift VPU cost is dtype-independent — "
+              f"measured only as the auto-fallback evidence; serve "
+              f"bf16+fused-stem. PARITY 'Batch-1 int8: retired']",
+              file=sys.stderr)
         # serving default is the measured winner, never a slower int8
         # (best_latency_engine auto-fallback; VERDICT r2 item 3)
         times = {"bf16": dr["device_ms_per_frame"],

@@ -113,7 +113,7 @@ def _as_flat(x):
 
 def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None,
                   fused_stem: bool = False, b1_matmul: bool = False,
-                  phase_train: bool = False):
+                  phase_train: bool = False, train_pool: str = "rw"):
     """Build forward(params, x, *, train=False, rng=None, truth=None).
 
     Returns (output, aux) where output is the network output (flat (B,N)
@@ -319,7 +319,8 @@ def build_forward(spec: S.NetworkSpec, *, trees=None, compute_dtype=None,
             elif isinstance(l, S.MaxPoolSpec):
                 cur = _as_nhwc(cur, l)
                 cur = P.maxpool(cur, size=l.size, stride=l.stride,
-                                pad=l.pad, for_training=train)
+                                pad=l.pad, for_training=train,
+                                train_mode=train_pool)
 
             elif isinstance(l, S.AvgPoolSpec):
                 cur = _as_nhwc(cur, l)

@@ -59,11 +59,15 @@ def _find_head(spec: S.NetworkSpec):
 def make_train_step(spec: S.NetworkSpec, *, mesh=None,
                     compute_dtype=None, remat: bool = False,
                     fused_stem: bool = False,
-                    phase_train=False):
+                    phase_train=False, train_pool: str = "rw"):
     """Returns train_step(state, x, truth, rng) -> (state, metrics).
 
     phase_train: False | True (leading fused pair) | "chain" (leading
     TWO pairs — opt-in, measured slower on v5e; see graph/compiler.py).
+
+    train_pool: "rw" (reduce_window / select_and_scatter backward) |
+    "amax" (first-max-rank residual; pool routing fuses into the BN
+    backward so dY never materializes — see ops/pooling.py).
 
     x: (B, H, W, C) float32 where B = net.batch * net.subdivisions
        (the full outer batch, like load_args.n in the reference).
@@ -81,7 +85,8 @@ def make_train_step(spec: S.NetworkSpec, *, mesh=None,
         spec, trees=trees, compute_dtype=compute_dtype,
         fused_stem=fused_stem and (mesh is None or mesh.size == 1),
         phase_train=(phase_train if (mesh is None or mesh.size == 1)
-                     else False))
+                     else False),
+        train_pool=train_pool)
     head = spec.layers[head_idx]
     region_loss_ws = None
     if head_kind == "region":

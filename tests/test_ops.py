@@ -332,3 +332,85 @@ def test_reduce_window_grad_is_first_tap():
     d2b = jax.grad(lambda x: jnp.vdot(
         rw_pool(x).astype(jnp.float32), g))(xb)
     np.testing.assert_array_equal(np.asarray(d1b), np.asarray(d2b))
+
+
+def test_amax_pool_backward_first_tap():
+    """The first-max-rank training pool (train_mode='amax',
+    ops/pooling.py round 5) is bit-exact to the reduce_window /
+    select_and_scatter formulation — forward AND backward — on
+    tie-heavy inputs, f32 and bf16, sizes 2 and 4. The rank residual
+    replaces saving x; the backward must route each window's cotangent
+    to darknet's FIRST max tap (maxpool_layer.c:95-108)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from sr_object_detection_tpu.ops.pooling import _amax_maxpool
+
+    def rw_pool(x, size):
+        return lax.reduce_window(
+            x, -jnp.inf, lax.max, window_dimensions=(1, size, size, 1),
+            window_strides=(1, size, size, 1),
+            padding=((0, 0), (0, 0), (0, 0), (0, 0)))
+
+    rng = np.random.RandomState(1)
+    for size in (2, 4):
+        # quantized values force many exact ties inside windows
+        x = (rng.randint(0, 3, (2, 8, 8, 5)) * 0.5).astype(np.float32)
+        g = rng.uniform(-1, 1,
+                        (2, 8 // size, 8 // size, 5)).astype(np.float32)
+        for dt in (jnp.float32, jnp.bfloat16):
+            xj = jnp.asarray(x, dt)
+            y1 = _amax_maxpool(xj, size)
+            y2 = rw_pool(xj, size)
+            np.testing.assert_array_equal(np.asarray(y1),
+                                          np.asarray(y2))
+            d1 = jax.grad(lambda x: jnp.vdot(
+                _amax_maxpool(x, size).astype(jnp.float32), g))(xj)
+            d2 = jax.grad(lambda x: jnp.vdot(
+                rw_pool(x, size).astype(jnp.float32), g))(xj)
+            np.testing.assert_array_equal(np.asarray(d1),
+                                          np.asarray(d2))
+
+
+def test_train_pool_amax_loss_and_grads_match():
+    """make_train_step(train_pool='amax') produces the same loss and
+    parameter updates as the default reduce_window path on a small
+    conv+pool net. Pool routing itself is bit-exact (the test above);
+    at whole-net scale the two programs fuse differently so XLA
+    reassociates the BN-backward reductions — updates agree to f32
+    reduction-order noise (~1e-8), not bit-for-bit."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from sr_object_detection_tpu.models.zoo import tiny_yolo_voc
+    from sr_object_detection_tpu.io.weights import init_params
+    from sr_object_detection_tpu.train.trainer import (
+        make_train_step, TrainState)
+    from sr_object_detection_tpu.train.sgd import init_velocity
+
+    base = tiny_yolo_voc()
+    spec = dataclasses.replace(
+        base, net=dataclasses.replace(base.net, h=64, w=64, batch=2,
+                                      subdivisions=1))
+    spec = spec.resize(64, 64)
+    params = init_params(spec, seed=0)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    t = np.zeros((2, 30, 5), np.float32)
+    t[:, 0] = [0.5, 0.5, 0.4, 0.4, 3]
+    states = {}
+    for mode in ("rw", "amax"):
+        p = jax.tree.map(jnp.asarray, params)
+        st = TrainState(p, init_velocity(p), jnp.asarray(0))
+        step = jax.jit(make_train_step(spec, train_pool=mode))
+        for _ in range(2):
+            st, m = step(st, jnp.asarray(x), jnp.asarray(t),
+                         jax.random.PRNGKey(0))
+        states[mode] = (st, float(m["loss"]))
+    np.testing.assert_allclose(states["rw"][1], states["amax"][1],
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(states["rw"][0].params),
+                    jax.tree.leaves(states["amax"][0].params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=2e-6, rtol=1e-4)
