@@ -88,6 +88,23 @@ class Geom(NamedTuple):
     NCH: int
     pack_dr: bool
     pack_pp: bool
+    # row-groups per dot (round 5): RG=2 additionally packs TWO
+    # consecutive output-row-pairs into the M dimension — 8 pool
+    # variants, M = 8*Cout = 128 at Cout=16, one full MXU row tile
+    # instead of the half-empty 4-variant (64, K) dot. The staged tap
+    # union widens from 4 to 6 input rows (K = 6*4*C). Halves the
+    # MXU passes of every conv recompute.
+    RG: int = 1
+
+
+def _groups_rg(pack_dr: bool, pack_pp: bool, rg: int = 1):
+    """Pool-variant dot groups; rg=2 extends dr over TWO row-pairs
+    (dr in 0..3 = output row offset within the row-group)."""
+    if rg == 2:
+        assert pack_dr and pack_pp
+        return [((0, 0), tuple((dr, pp) for dr in range(4)
+                               for pp in range(2)))]
+    return _groups(pack_dr, pack_pp)
 
 
 def from_phase_np(of, H: int, W: int, C: int, P: int):
@@ -105,13 +122,13 @@ def to_phase_np(q_nhwc, P: int):
     return t.reshape(H * C, P * wp * B)
 
 
-def _vmem_train(C, Cout, P, WP, RP, WS, pack_dr, pack_pp):
+def _vmem_train(C, Cout, P, WP, RP, WS, pack_dr, pack_pp, rg=1):
     PW = P * WP * _LANE
     WSL = WS * _LANE
-    NR = 4 if pack_dr else 3
+    NR = (4 if pack_dr else 3) + 2 * (rg - 1)
     NC = 4 if pack_pp else 3
-    nv = (2 if pack_dr else 1) * (2 if pack_pp else 1)
-    G = 4 // nv
+    nv = (2 if pack_dr else 1) * (2 if pack_pp else 1) * rg
+    G = 4 // ((2 if pack_dr else 1) * (2 if pack_pp else 1))
     KK = NR * NC * C
     x = 2 * (2 * RP * C) * PW * 2
     halo = 2 * halo_pad(C) * PW * 2
@@ -120,46 +137,66 @@ def _vmem_train(C, Cout, P, WP, RP, WS, pack_dr, pack_pp):
     w = G * nv * Cout * KK * 2
     rhs = KK * WSL * 2
     dyall = (2 * nv * Cout + 8) * WSL * 2
-    temps = 14 * Cout * WSL * 4       # ys (4x f32) + dz/x_hat/epilogue
+    # ys (nv x f32) + dz/x_hat/epilogue temporaries per variant
+    temps = (14 * rg) * Cout * WSL * 4
     return x + halo + dp + outa + w + rhs + dyall + temps
 
 
-def plan_pair(H: int, W: int, C: int, Cout: int, P: int = 2):
+def plan_pair(H: int, W: int, C: int, Cout: int, P: int = 2,
+              allow_rg2: bool = True):
     """Geometry for one fused training pair, or None if nothing fits.
-    P=2 for a standalone pair (the phase depth a 1-pair chain needs)."""
+    P=2 for a standalone pair (the phase depth a 1-pair chain needs).
+    allow_rg2=False pins single-row-pair dots (the chain kernels'
+    "dy"/dgrad modes are RG=1-only)."""
     if W % P or H % 2 or W % 2:
         return None
     WP = W // P
     H2 = H // 2
     pack_dr, pack_pp = _pack_mode(C, Cout)
-    best = None
-    best_score = None
-    for rp in range(1, min(H2, 16) + 1):
-        if H2 % rp or (2 * rp * C) % 8:
-            continue
-        for ws in [w for w in range(WP, 0, -1) if WP % w == 0]:
-            if _vmem_train(C, Cout, P, WP, rp, ws,
-                           pack_dr, pack_pp) <= _VMEM_BUDGET:
-                # window width FIRST (up to 8 chunks — WSL>=1024 keeps
-                # the dots and stores out of overhead land; the r4
-                # profile caught RP-first picking RP=2/WS=2 at pair-2
-                # geometry, 256-lane dots ~3x slower than RP=1/WS=8),
-                # THEN rows (halo amortization), then the rest of ws
-                score = (min(ws, 8), rp, ws)
-                if best_score is None or score > best_score:
-                    best, best_score = (rp, ws), score
-                break
+
+    def _search(rg):
+        best = None
+        best_score = None
+        for rp in range(1, min(H2, 16) + 1):
+            if H2 % rp or (2 * rp * C) % 8 or rp % rg:
+                continue
+            for ws in [w for w in range(WP, 0, -1) if WP % w == 0]:
+                if _vmem_train(C, Cout, P, WP, rp, ws,
+                               pack_dr, pack_pp,
+                               rg=rg) <= _VMEM_BUDGET:
+                    # window width FIRST (up to 8 chunks — WSL>=1024
+                    # keeps the dots and stores out of overhead land;
+                    # the r4 profile caught RP-first picking RP=2/WS=2
+                    # at pair-2 geometry, 256-lane dots ~3x slower
+                    # than RP=1/WS=8), THEN rows (halo amortization),
+                    # then the rest of ws
+                    score = (min(ws, 8), rp, ws)
+                    if best_score is None or score > best_score:
+                        best, best_score = (rp, ws), score
+                    break
+        return best
+
+    # RG=2 gets its OWN (RP, WS) search: its VMEM footprint differs,
+    # and halving the MXU tile passes of every conv recompute is worth
+    # more than a wider window (both saturate the window score at 8)
+    if allow_rg2 and pack_dr and pack_pp and 8 * Cout <= 128:
+        b2 = _search(2)
+        if b2 is not None and min(b2[1], 8) >= 8:
+            RP, WS = b2
+            return Geom(H, W, C, Cout, P, WP, RP, WS, H2 // RP,
+                        WP // WS, pack_dr, pack_pp, 2)
+    best = _search(1)
     if best is None:
         return None
     RP, WS = best
     return Geom(H, W, C, Cout, P, WP, RP, WS, H2 // RP, WP // WS,
-                pack_dr, pack_pp)
+                pack_dr, pack_pp, 1)
 
 
 # ------------------------------------------------------------ kernels
 
 def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
-                  pack_pp, dp_3d=False, with_wgrad=False):
+                  pack_pp, RG=1, dp_3d=False, with_wgrad=False):
     """Grid (NB, P//2, NCH). Shared structure: stage the tap union,
     recompute the four pool-variant conv outputs (bf16-rounded f32),
     then the per-mode epilogue. kc rows (f32, (7*Cout, 1)):
@@ -183,6 +220,10 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
         x_ref, h_ref, w_ref, kc_ref, bb_ref, dp_ref, o_ref, \
             rhs_ref = refs
         ow_ref = dy_ref = None
+    elif mode == "fwdstats":
+        x_ref, h_ref, w_ref, kc_ref, bb_ref, o_ref, ow_ref, \
+            rhs_ref, dy_ref = refs      # ow_ref = the stats output
+        dp_ref = None
     else:
         x_ref, h_ref, w_ref, kc_ref, bb_ref, o_ref, rhs_ref, \
             dy_ref = refs
@@ -193,19 +234,20 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
     WSL = WS * _LANE
     WPL = WP * _LANE
     NCH = WP // WS
-    NR = 4 if pack_dr else 3
+    NR = (4 if pack_dr else 3) + 2 * (RG - 1)
     NC = 4 if pack_pp else 3
-    groups = _groups(pack_dr, pack_pp)
+    groups = _groups_rg(pack_dr, pack_pp, RG)
     nv = len(groups[0][1])
     Mg = nv * Cout
 
     def kc(r):
         return kc_ref[r * Cout:(r + 1) * Cout, :]     # (Cout, 1) f32
 
-    if mode in ("stats", "bwd", "red") or (mode == "dy" and with_wgrad):
+    if mode in ("stats", "bwd", "red", "fwdstats") \
+            or (mode == "dy" and with_wgrad):
         @pl.when((i == 0) & (q == 0) & (mc == 0))
         def _():
-            if mode != "dy":
+            if mode not in ("dy", "fwdstats"):
                 o_ref[...] = jnp.zeros_like(o_ref)
             if ow_ref is not None:
                 ow_ref[...] = jnp.zeros_like(ow_ref)
@@ -252,8 +294,12 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
                         rhs_ref[rows, WSL - _LANE:WSL] = jnp.zeros(
                             (C, _LANE), rhs_ref.dtype)
 
-    for rp in range(RP):
-        # ---- recompute the four variant conv outputs (bf16) --------
+    NV = 4 * RG                 # pool variants per staged dot set
+    for rp in range(0, RP, RG):
+        # ---- recompute the NV variant conv outputs (bf16) ----------
+        # (RG=2: ONE (8*Cout, 6*NC*C) dot covers TWO output-row-pairs
+        # — M fills the full 128-row MXU tile at Cout=16, halving the
+        # tile passes of the 4-variant (64, 4*NC*C) form)
         ys = {}
         for g, ((dr0, pp0), variants) in enumerate(groups):
             stage(rp, dr0, pp0)
@@ -267,7 +313,7 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
 
         if mode == "stats":
             s0 = s1 = None
-            for k in range(4):
+            for k in range(NV):
                 xs = ys[k].astype(jnp.float32) - kc(0)
                 s0 = xs if s0 is None else s0 + xs
                 s1 = xs * xs if s1 is None else s1 + xs * xs
@@ -275,11 +321,41 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
             o_ref[Cout:2 * Cout, :] += s1
             continue
 
+        if mode == "fwdstats":
+            # MERGED stats + pool pass (round 5): one conv recompute
+            # instead of two. The batch stats the normalize needs are
+            # only complete after the pass — but the 2x2 first-max
+            # commutes through the per-channel monotone BN+bias+leaky
+            # map (slope sign = sign(scales), known NOW), so the
+            # kernel pools the RAW bf16 conv outputs (max if scale>0,
+            # min if <0; scale==0 maps every tap to the same value)
+            # and the bn+leaky map runs on the POOLED tensor outside,
+            # where XLA fuses it into the consumer. max_k f(v_k) =
+            # f(max_k v_k) holds exactly for the non-strictly
+            # monotone f (bf16 rounding plateaus included).
+            s0 = s1 = None
+            for k in range(NV):
+                xs = ys[k].astype(jnp.float32) - kc(0)
+                s0 = xs if s0 is None else s0 + xs
+                s1 = xs * xs if s1 is None else s1 + xs * xs
+            ow_ref[0:Cout, :] += s0
+            ow_ref[Cout:2 * Cout, :] += s1
+            for g2 in range(RG):       # pooled row rp+g2 <- keys 4g2..
+                vmax = vmin = None
+                for k in range(4 * g2, 4 * g2 + 4):
+                    yk = ys[k].astype(jnp.float32)
+                    vmax = yk if vmax is None else jnp.maximum(vmax, yk)
+                    vmin = yk if vmin is None else jnp.minimum(vmin, yk)
+                zsel = jnp.where(kc(3) > 0, vmax, vmin)
+                o_ref[(rp + g2) * Cout:(rp + g2 + 1) * Cout, :] = \
+                    zsel.astype(jnp.bfloat16)
+            continue
+
         # ---- BN + bias + leaky per variant (fused_stem._bn_leaky) --
         mean, inv, scales = kc(1), kc(2), kc(3)
         bias = bb_ref[...]
         av, zpos, xhat, xm = {}, {}, {}, {}
-        for k in range(4):
+        for k in range(NV):
             ybf = ys[k].astype(jnp.float32)
             xm[k] = ybf - mean
             xhat[k] = xm[k] * inv
@@ -289,39 +365,46 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
 
         if mode == "fwd":
             # darknet FIRST-max pool across variants (window row-major
-            # order == variant index order)
-            best = av[0]
-            for k in range(1, 4):
-                take = av[k].astype(jnp.float32) \
-                    > best.astype(jnp.float32)
-                best = jnp.where(take, av[k], best)
-            o_ref[rp * Cout:(rp + 1) * Cout, :] = best
+            # order == variant index order), one pooled row per g2
+            for g2 in range(RG):
+                best = av[4 * g2]
+                for k in range(4 * g2 + 1, 4 * g2 + 4):
+                    take = av[k].astype(jnp.float32) \
+                        > best.astype(jnp.float32)
+                    best = jnp.where(take, av[k], best)
+                o_ref[(rp + g2) * Cout:(rp + g2 + 1) * Cout, :] = best
             continue
 
         # ---- backward: first-max routing + bf16-rounded leaky bwd --
-        if dp_3d:
-            # chained-pair dp: the dgrad kernel's phase-major output
-            # (P_pool, H2*Cout, WPL), block (1, RP*Cout, WSL) at (q,i,mc)
-            g_ct = dp_ref[0, rp * Cout:(rp + 1) * Cout,
-                          :].astype(jnp.float32)
-        else:
-            g_ct = dp_ref[rp * Cout:(rp + 1) * Cout,
-                          :].astype(jnp.float32)
-        m = av[0].astype(jnp.float32)
-        for k in range(1, 4):
-            m = jnp.maximum(m, av[k].astype(jnp.float32))
         dz = {}
-        seen = None
-        for k in range(4):
-            eq = av[k].astype(jnp.float32) == m
-            first = eq if seen is None else eq & jnp.logical_not(seen)
-            seen = eq if seen is None else seen | eq
-            da = jnp.where(first, g_ct, jnp.zeros((), jnp.float32))
-            neg = (jnp.float32(0.10009765625) * da).astype(
-                jnp.bfloat16).astype(jnp.float32)
-            dz[k] = jnp.where(zpos[k], da, neg)
+        for g2 in range(RG):
+            if dp_3d:
+                # chained-pair dp: the dgrad kernel's phase-major
+                # output (P_pool, H2*Cout, WPL), block
+                # (1, RP*Cout, WSL) at (q,i,mc)
+                g_ct = dp_ref[0, (rp + g2) * Cout:(rp + g2 + 1) * Cout,
+                              :].astype(jnp.float32)
+            else:
+                g_ct = dp_ref[(rp + g2) * Cout:(rp + g2 + 1) * Cout,
+                              :].astype(jnp.float32)
+            ks = range(4 * g2, 4 * g2 + 4)
+            m = None
+            for k in ks:
+                a = av[k].astype(jnp.float32)
+                m = a if m is None else jnp.maximum(m, a)
+            seen = None
+            for k in ks:
+                eq = av[k].astype(jnp.float32) == m
+                first = eq if seen is None else \
+                    eq & jnp.logical_not(seen)
+                seen = eq if seen is None else seen | eq
+                da = jnp.where(first, g_ct, jnp.zeros((), jnp.float32))
+                neg = (jnp.float32(0.10009765625) * da).astype(
+                    jnp.bfloat16).astype(jnp.float32)
+                dz[k] = jnp.where(zpos[k], da, neg)
 
         if mode == "dy":
+            assert RG == 1, "dy mode is RG=1-only (chain kernels)"
             # materialize the full-res conv cotangent: identical f32
             # expression + bf16 round as ops/conv._bn_core_fast_bwd
             # (dx = d*c1 + xm*c2 + c3); c1..c3 computed OUTSIDE from
@@ -356,7 +439,7 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
         # modes "bwd"/"red": the BN reductions; "bwd" adds the three
         # factored weight-gradient dots in the same pass
         s0 = s1 = None
-        for k in range(4):
+        for k in range(NV):
             s0 = dz[k] if s0 is None else s0 + dz[k]
             t = dz[k] * xhat[k]
             s1 = t if s1 is None else s1 + t
@@ -382,13 +465,14 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
 def _run(mode, geom: Geom, xp, halo, wpk, kc, bias_b, dp=None,
          dp_3d=False, with_wgrad=False):
     g = geom
+    rg = getattr(g, "RG", 1)
     PW = g.P * g.WP * _LANE
     WSL = g.WS * _LANE
-    NR = 4 if g.pack_dr else 3
+    NR = (4 if g.pack_dr else 3) + 2 * (rg - 1)
     NC = 4 if g.pack_pp else 3
-    nv = (2 if g.pack_dr else 1) * (2 if g.pack_pp else 1)
+    nv = (2 if g.pack_dr else 1) * (2 if g.pack_pp else 1) * rg
     Mg = nv * g.Cout
-    G = 4 // nv
+    G = 4 * rg // nv
     KK = NR * NC * g.C
     H2 = g.H // 2
     HP = halo_pad(g.C)
@@ -419,6 +503,16 @@ def _run(mode, geom: Geom, xp, halo, wpk, kc, bias_b, dp=None,
         out_shape = jax.ShapeDtypeStruct((2 * g.Cout, WSL), jnp.float32)
         out_spec = pl.BlockSpec((2 * g.Cout, WSL),
                                 lambda i, q, mc: (0, 0))
+    elif mode == "fwdstats":
+        # (pooled raw-z extreme, shifted-moment sums) in ONE pass
+        out_shape = (
+            jax.ShapeDtypeStruct(
+                (H2 * g.Cout, (g.P // 2) * g.WP * _LANE), jnp.bfloat16),
+            jax.ShapeDtypeStruct((2 * g.Cout, WSL), jnp.float32))
+        out_spec = (
+            pl.BlockSpec((g.RP * g.Cout, WSL),
+                         lambda i, q, mc, _n=nch: (i, q * _n + mc)),
+            pl.BlockSpec((2 * g.Cout, WSL), lambda i, q, mc: (0, 0)))
     elif mode == "fwd":
         out_shape = jax.ShapeDtypeStruct(
             (H2 * g.Cout, (g.P // 2) * g.WP * _LANE), jnp.bfloat16)
@@ -451,7 +545,7 @@ def _run(mode, geom: Geom, xp, halo, wpk, kc, bias_b, dp=None,
     kern = functools.partial(
         _train_kernel, mode=mode, C=g.C, Cout=g.Cout, P=g.P, WP=g.WP,
         RP=g.RP, WS=g.WS, pack_dr=g.pack_dr, pack_pp=g.pack_pp,
-        dp_3d=dp_3d, with_wgrad=with_wgrad)
+        RG=rg, dp_3d=dp_3d, with_wgrad=with_wgrad)
     scratch = [pltpu.VMEM((KK, WSL), jnp.bfloat16)]
     if mode == "dy" and with_wgrad:
         scratch.append(pltpu.VMEM((Mg, WSL), jnp.bfloat16))
@@ -477,9 +571,10 @@ def _pack_w(w, geom: Geom):
     parameters, not baked constants): scatter the (3,3,C,Cout) kernel
     into the packed (G*nv*Cout, NR*NC*C) bf16 lhs."""
     g = geom
-    NR = 4 if g.pack_dr else 3
+    rg = getattr(g, "RG", 1)
+    NR = (4 if g.pack_dr else 3) + 2 * (rg - 1)
     NC = 4 if g.pack_pp else 3
-    groups = _groups(g.pack_dr, g.pack_pp)
+    groups = _groups_rg(g.pack_dr, g.pack_pp, rg)
     nv = len(groups[0][1])
     w9t = jnp.transpose(w.astype(jnp.bfloat16).reshape(9 * g.C, g.Cout))
     L = jnp.zeros((len(groups) * nv * g.Cout, NR * NC * g.C),
@@ -507,7 +602,7 @@ def _unpack_dw(raw, geom: Geom, mean, c1, c2, c3):
     BN backward in (dz, y, 1)."""
     g = geom
     NC = 4 if g.pack_pp else 3
-    groups = _groups(g.pack_dr, g.pack_pp)
+    groups = _groups_rg(g.pack_dr, g.pack_pp, getattr(g, "RG", 1))
     nv = len(groups[0][1])
     Mg = nv * g.Cout
     MW = 2 * Mg + 8
@@ -538,7 +633,7 @@ def _unpack_dw_direct(raw, geom: Geom):
     them)."""
     g = geom
     NC = 4 if g.pack_pp else 3
-    groups = _groups(g.pack_dr, g.pack_pp)
+    groups = _groups_rg(g.pack_dr, g.pack_pp, getattr(g, "RG", 1))
     nv = len(groups[0][1])
     Mg = nv * g.Cout
     dw = jnp.zeros((3, 3, g.C, g.Cout), jnp.float32)
@@ -576,21 +671,48 @@ def _pair(geom: Geom, xp, w, scales, biases, shift):
     return out
 
 
+_FWD2 = True     # merged stats+pool forward (one conv recompute saved)
+
+
 def _pair_fwd(geom: Geom, xp, w, scales, biases, shift):
     g = geom
     n = g.H * g.W * _LANE
     halo = halo_rows(xp, g.H, g.C, g.RP, g.NB)
     wpk = _pack_w(w, g)
     bias_b = biases.astype(jnp.bfloat16).reshape(-1, 1)
-    kc0 = _consts(shift, shift, shift, scales)     # only row 0 used
-    S = _run("stats", g, xp, halo, wpk, kc0, bias_b)
+    kc0 = _consts(shift, shift, shift, scales)   # rows 0 (shift) + 3
+    if _FWD2:
+        # ONE pass: shifted moments + raw-z extreme pool (mode
+        # "fwdstats" — the 2x2 first-max commutes through the
+        # monotone per-channel BN+bias+leaky, whose slope sign is
+        # sign(scales)); the bn+leaky map then runs on the POOLED
+        # tensor below with the completed batch stats — exact
+        # (non-strict monotonicity, bf16 rounding plateaus included)
+        # and XLA fuses it into the consumer.
+        Z, S = _run("fwdstats", g, xp, halo, wpk, kc0, bias_b)
+    else:
+        S = _run("stats", g, xp, halo, wpk, kc0, bias_b)
     sx = jnp.sum(S[0:g.Cout], axis=1)
     sxx = jnp.sum(S[g.Cout:], axis=1)
     mean = shift + sx / n
     var = jnp.maximum((sxx - jnp.square(sx) / n) / max(n - 1, 1), 0.0)
     inv = 1.0 / (jnp.sqrt(var) + BN_EPS)
-    kc = _consts(shift, mean, inv, scales)
-    pooled = _run("fwd", g, xp, halo, wpk, kc, bias_b)
+    if _FWD2:
+        # pooled-space bn+bias+leaky: the EXACT per-tap expressions of
+        # mode "fwd" (f32 xhat from the bf16 value, bf16-rounded
+        # scale, bf16 bias add, bf16 0.1 leak)
+        H2 = g.H // 2
+        PW2 = (g.P // 2) * g.WP * _LANE
+        zf = Z.reshape(H2, g.Cout, PW2).astype(jnp.float32)
+        xhat = (zf - mean[None, :, None]) * inv[None, :, None]
+        zb = (xhat * scales[None, :, None]).astype(jnp.bfloat16) \
+            + biases.astype(jnp.bfloat16)[None, :, None]
+        pooled = jnp.where(zb.astype(jnp.float32) > 0, zb,
+                           jnp.bfloat16(0.1) * zb)
+        pooled = pooled.reshape(H2 * g.Cout, PW2)
+    else:
+        kc = _consts(shift, mean, inv, scales)
+        pooled = _run("fwd", g, xp, halo, wpk, kc, bias_b)
     return (pooled, mean, var), (xp, w, scales, biases, mean, var)
 
 
@@ -916,8 +1038,8 @@ def supported_chain(spec0, spec2, batch: int) -> bool:
 
 
 @functools.lru_cache(maxsize=32)
-def _plan_cached(H, W, C, Cout, P=2):
-    return plan_pair(H, W, C, Cout, P)
+def _plan_cached(H, W, C, Cout, P=2, allow_rg2=True):
+    return plan_pair(H, W, C, Cout, P, allow_rg2=allow_rg2)
 
 
 @functools.lru_cache(maxsize=32)
@@ -958,8 +1080,11 @@ def phase_train_chain2(x_nhwc, params0, spec0, params2, spec2):
     kernels back into pair 0's backward with no NHWC round trip.
 
     Returns (pooled NHWC bf16 after the second pool, bn0, bn2)."""
-    g0 = _plan_cached(spec0.h, spec0.w, spec0.c, spec0.filters, 4)
-    g1 = _plan_cached(spec2.h, spec2.w, spec2.c, spec2.filters, 2)
+    # chain kernels ("dy"/dgrad) are RG=1-only
+    g0 = _plan_cached(spec0.h, spec0.w, spec0.c, spec0.filters, 4,
+                      allow_rg2=False)
+    g1 = _plan_cached(spec2.h, spec2.w, spec2.c, spec2.filters, 2,
+                      allow_rg2=False)
     dg = _plan_dgrad_cached(spec2.h, spec2.w, spec2.c, spec2.filters)
     xp = to_phase_np(x_nhwc.astype(jnp.bfloat16), 4)
     p1, m0, v0, m1, v1 = _chain2(

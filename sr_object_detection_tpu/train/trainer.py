@@ -223,6 +223,36 @@ def make_train_step(spec: S.NetworkSpec, *, mesh=None,
     return train_step
 
 
+def make_multi_step(spec: S.NetworkSpec, **kw):
+    """K training steps in ONE dispatch: lax.scan of make_train_step
+    over K stacked batches (xs: (K, B, H, W, C), ts: (K, B, ...)).
+
+    Why: the round-5 xplane of the single-step dispatch shows ~3 ms of
+    device idle per step (op total 38.2 ms vs 41.3 ms wall at
+    tiny-yolo-416 B=128) — launch gaps a scanned multi-step amortizes.
+    Semantics are EXACTLY K sequential train_step calls; the rng is
+    split once per step (rng_k = split(rng)[k-th chain]), so callers
+    that need bit-equality with the single-step loop must follow the
+    same split discipline (tests/test_train_multi.py pins it).
+
+    The loader side: any loader's next_batch called K times and
+    stacked — `Trainer.multi_step` does exactly that.
+    """
+    step = make_train_step(spec, **kw)
+
+    def multi_step(state: TrainState, xs, ts, rng):
+        def body(carry, xt):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            st, m = step(st, xt[0], xt[1], sub)
+            return (st, r), m
+
+        (st, _), ms = jax.lax.scan(body, (state, rng), (xs, ts))
+        return st, ms
+
+    return multi_step
+
+
 def _merge_bn(params, bns):
     """Write scan-final rolling stats into params[i]."""
     if not bns:
