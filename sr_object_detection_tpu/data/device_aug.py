@@ -160,8 +160,14 @@ class DeviceAugmenter:
              "flip", "dhue", "dsat", "dexp", "do_distort")
 
     def __init__(self, w: int, h: int, resample: str = "auto",
-                 precision: str = "exact"):
+                 precision: str = "exact", out_dtype=None):
         self.w, self.h = w, h
+        # out_dtype=bfloat16: cast at aug WRITE instead of at train-
+        # step entry — bit-identical end-to-end for a bf16 compute
+        # step (which casts its input first anyway) and halves the
+        # batch's HBM read + kills the in-step convert (measured
+        # -0.75 ms/step on tiny-yolo-416 B=128, round 5)
+        self.out_dtype = out_dtype
         if resample == "auto":
             # MXU one-hot matmuls beat gathers on TPU; on CPU the
             # matmul costs real FLOPs and gathers win
@@ -179,11 +185,14 @@ class DeviceAugmenter:
         self.precision = precision
         prec = (None if precision == "exact"
                 else jax.lax.Precision.DEFAULT)
-        self._fn = jax.jit(jax.vmap(
-            lambda img, p: _augment_one(
+        od = self.out_dtype
+
+        def _one(img, p):
+            out = _augment_one(
                 img, *(p[k] for k in self._KEYS), w=w, h=h,
-                resample=resample, precision=prec),
-            in_axes=(0, 0)))
+                resample=resample, precision=prec)
+            return out if od is None else out.astype(od)
+        self._fn = jax.jit(jax.vmap(_one, in_axes=(0, 0)))
 
     def coeffs(self, params: dict) -> dict:
         """Host-side tap tables for one image's crop params."""

@@ -156,8 +156,13 @@ class PackedDetectionLoader:
         from . import device_aug as DA
         key = (w, h)
         if key not in self._augmenters:
+            # bf16 aug output: the bf16 train step casts its input
+            # first anyway, so casting at aug write is bit-identical
+            # end-to-end and halves the step's input read
+            import jax.numpy as jnp
             self._augmenters[key] = DA.DeviceAugmenter(
-                w, h, precision=self.precision)
+                w, h, precision=self.precision,
+                out_dtype=jnp.bfloat16)
         return self._augmenters[key]
 
     def _host_batch_cpu(self):

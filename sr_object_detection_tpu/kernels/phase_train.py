@@ -143,11 +143,13 @@ def _vmem_train(C, Cout, P, WP, RP, WS, pack_dr, pack_pp, rg=1):
 
 
 def plan_pair(H: int, W: int, C: int, Cout: int, P: int = 2,
-              allow_rg2: bool = True):
+              allow_rg2: bool = False):
     """Geometry for one fused training pair, or None if nothing fits.
     P=2 for a standalone pair (the phase depth a 1-pair chain needs).
-    allow_rg2=False pins single-row-pair dots (the chain kernels'
-    "dy"/dgrad modes are RG=1-only)."""
+    allow_rg2=True opts into RG=2 row-pair M-packing — measured
+    NEGATIVE on v5e (r5 A/B: bwd pass 3.60 vs 3.23 ms; the halved dot
+    count never pays for the 4->6-row tap staging), kept for A/B. The
+    chain kernels' "dy"/dgrad modes are RG=1-only regardless."""
     if W % P or H % 2 or W % 2:
         return None
     WP = W // P
@@ -564,6 +566,58 @@ def _run(mode, geom: Geom, xp, halo, wpk, kc, bias_b, dp=None,
     )(*args)
 
 
+# ----------------------------------------------- pooled BN-apply pass
+
+def _apply_kernel(z_ref, c_ref, o_ref, *, RPC):
+    """Elementwise BN+bias+leaky on the raw pooled conv output (mode
+    "fwdstats" saved it) — the EXACT per-tap expressions of mode
+    "fwd": f32 xhat from the bf16 value, bf16-rounded scale multiply,
+    bf16 bias add, bf16 0.1 leak. Per-row constants (row -> channel =
+    row % Cout, the (H2*Cout, W2*B) pooled layout)."""
+    c = c_ref[...]
+    mean = c[0:RPC]
+    inv = c[RPC:2 * RPC]
+    sc = c[2 * RPC:3 * RPC]
+    bi = c[3 * RPC:4 * RPC].astype(jnp.bfloat16)
+    zf = z_ref[...].astype(jnp.float32)
+    zb = ((zf - mean) * inv * sc).astype(jnp.bfloat16) + bi
+    o_ref[...] = jnp.where(zb.astype(jnp.float32) > 0, zb,
+                           jnp.bfloat16(0.1) * zb)
+
+
+def _run_apply(g: Geom, Z, mean, inv, scales, biases):
+    """bn+bias+leaky over the pooled (H2*Cout, W2*B) raw-z layout,
+    in-place-shaped (one read + one write of the pooled tensor; no
+    conv recompute — the whole point of saving Z in "fwdstats")."""
+    H2 = g.H // 2
+    W2B = (g.P // 2) * g.WP * _LANE
+    # block: RB h-rows x CL lanes, ~<=2 MB in+out
+    RB = 1
+    for r in range(H2, 0, -1):
+        if H2 % r == 0 and r * g.Cout <= 512:
+            RB = r
+            break
+    RPC = RB * g.Cout
+    CL = W2B
+    while RPC * CL * 4 > 4 * 1024 * 1024 and CL % 2 == 0:
+        CL //= 2
+    cols = jnp.stack([mean.astype(jnp.float32),
+                      inv.astype(jnp.float32),
+                      scales.astype(jnp.float32),
+                      biases.astype(jnp.float32)])       # (4, Cout)
+    cpk = jnp.tile(cols[:, None, :], (1, RB, 1)).reshape(4 * RPC, 1)
+    return pl.pallas_call(
+        functools.partial(_apply_kernel, RPC=RPC),
+        grid=(H2 // RB, W2B // CL),
+        in_specs=[pl.BlockSpec((RPC, CL), lambda i, j: (i, j)),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((RPC, CL), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((H2 * g.Cout, W2B),
+                                       jnp.bfloat16),
+        interpret=_INTERPRET,
+    )(Z, cpk)
+
+
 # ------------------------------------------------------ the fused op
 
 def _pack_w(w, geom: Geom):
@@ -672,6 +726,8 @@ def _pair(geom: Geom, xp, w, scales, biases, shift):
 
 
 _FWD2 = True     # merged stats+pool forward (one conv recompute saved)
+_APPLY = True    # pooled BN-apply in a Pallas pass (the XLA apply
+                 # materializes f32 relayout copies — measured r5)
 
 
 def _pair_fwd(geom: Geom, xp, w, scales, biases, shift):
@@ -697,7 +753,13 @@ def _pair_fwd(geom: Geom, xp, w, scales, biases, shift):
     mean = shift + sx / n
     var = jnp.maximum((sxx - jnp.square(sx) / n) / max(n - 1, 1), 0.0)
     inv = 1.0 / (jnp.sqrt(var) + BN_EPS)
-    if _FWD2:
+    if _FWD2 and _APPLY:
+        # pooled-space bn+bias+leaky in a Pallas pass: one read + one
+        # write of the pooled tensor in ITS OWN layout — the XLA
+        # version below materializes an f32 relayout copy chain
+        # (measured +2.4 ms at 416, r5 profile)
+        pooled = _run_apply(g, Z, mean, inv, scales, biases)
+    elif _FWD2:
         # pooled-space bn+bias+leaky: the EXACT per-tap expressions of
         # mode "fwd" (f32 xhat from the bf16 value, bf16-rounded
         # scale, bf16 bias add, bf16 0.1 leak)
@@ -1038,7 +1100,7 @@ def supported_chain(spec0, spec2, batch: int) -> bool:
 
 
 @functools.lru_cache(maxsize=32)
-def _plan_cached(H, W, C, Cout, P=2, allow_rg2=True):
+def _plan_cached(H, W, C, Cout, P=2, allow_rg2=False):
     return plan_pair(H, W, C, Cout, P, allow_rg2=allow_rg2)
 
 

@@ -91,7 +91,12 @@ def test_packed_loader_no_augment_is_plain_resize(tmp_path):
     for b, i in enumerate(picks):
         want = resize_image_np(imgs[i].astype(np.float32) / 255.0,
                                64, 48)
-        np.testing.assert_allclose(x[b], want, atol=3e-6)
+        # the loader casts at aug write (bf16 — the train step's own
+        # input cast moved upstream, r5); compare at the bf16 contract
+        import jax.numpy as jnp
+        want = np.asarray(jnp.asarray(want, jnp.bfloat16), np.float32)
+        np.testing.assert_allclose(x[b].astype(np.float32), want,
+                                   atol=3e-6)
         # truth: both stored labels pass through un-jittered (order is
         # shuffled like the reference's fill_truth_detection)
         assert sorted(t[b, :2, 4].tolist()) == sorted([i % 3, 2.0])
