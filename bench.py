@@ -255,7 +255,8 @@ def main():
         print(f"yolo9000 bench skipped: {e}", file=sys.stderr)
 
     def train_bench(mkspec, label, batch_t, *, iters=10, repeats=3,
-                    remat=False, fast_init=False, phase_train=False):
+                    remat=False, fast_init=False, phase_train=False,
+                    input_dtype=None):
         import dataclasses
         from sr_object_detection_tpu.train.trainer import (
             make_train_step, TrainState)
@@ -275,6 +276,11 @@ def main():
             donate_argnums=(0,))
         xt = jnp.asarray(np.random.uniform(
             0, 1, (batch_t, tspec.net.h, tspec.net.w, 3)).astype(np.float32))
+        if input_dtype is not None:
+            # the production dataflow: device-aug casts to bf16 at aug
+            # write (data/device_aug.py out_dtype), so the step reads
+            # bf16 — bit-identical numerics, half the input traffic
+            xt = xt.astype(input_dtype)
         tt = np.zeros((batch_t, 30, 5), np.float32)
         tt[:, 0] = [0.5, 0.5, 0.3, 0.3, 1]
         tt = jnp.asarray(tt)
@@ -295,7 +301,9 @@ def main():
         tf = train_flops(tspec)            # fwd + ~2x bwd per image
         tput = batch_t / dt
         print(f"training {label} (bf16, batch {batch_t}"
-              f"{', remat' if remat else ''}, best-of-{repeats}"
+              f"{', remat' if remat else ''}"
+              f"{', bf16-aug input' if input_dtype is not None else ''}"
+              f", best-of-{repeats}"
               f"x{iters}): {tput:.0f} img/s, "
               f"{tput*tf/1e12:.1f} TFLOP/s, "
               f"MFU {100*tput*tf/PEAK:.0f}%", file=sys.stderr)
@@ -340,10 +348,13 @@ def main():
     try:
         # phase_train: the leading conv+pool pair trains with the conv
         # inside phase-split Pallas kernels (kernels/phase_train.py) —
-        # measured 2828 -> 3065 img/s on the v5e (parity-tested vs the
-        # production chain, tests/test_phase_train.py)
+        # r5 lever matrix in PARITY.md (fwdstats + Pallas apply +
+        # NHWC-direct boundary; parity-tested vs the production
+        # chain, tests/test_phase_train.py). bf16 input = the
+        # production device-aug dataflow (aug casts at write).
         synth_tput = train_bench(tiny_yolo_voc, "tiny-yolo-416", 128,
-                                 phase_train=True)
+                                 phase_train=True,
+                                 input_dtype=jnp.bfloat16)
     except Exception as e:
         print(f"training bench skipped: {e}", file=sys.stderr)
 

@@ -95,6 +95,10 @@ class Geom(NamedTuple):
     # union widens from 4 to 6 input rows (K = 6*4*C). Halves the
     # MXU passes of every conv recompute.
     RG: int = 1
+    # NHWC-direct pair boundary (standalone pair only — the chain
+    # needs phase-layout outputs): apply writes (H2,W2,Cout,B) and
+    # the bwd kernel takes the pooled cotangent in the same 4D form
+    NHWC: bool = False
 
 
 def _groups_rg(pack_dr: bool, pack_pp: bool, rg: int = 1):
@@ -198,7 +202,8 @@ def plan_pair(H: int, W: int, C: int, Cout: int, P: int = 2,
 # ------------------------------------------------------------ kernels
 
 def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
-                  pack_pp, RG=1, dp_3d=False, with_wgrad=False):
+                  pack_pp, RG=1, dp_3d=False, with_wgrad=False,
+                  dp_nhwc=False):
     """Grid (NB, P//2, NCH). Shared structure: stage the tap union,
     recompute the four pool-variant conv outputs (bf16-rounded f32),
     then the per-mode epilogue. kc rows (f32, (7*Cout, 1)):
@@ -212,7 +217,11 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
     dz*c1 + (y-mean)*c2 + c3, bf16, phase-major (P, H*Cout, WPL) —
     the input of the dgrad kernel; needs c1..c3, so it runs AFTER the
     "bwd" reductions)."""
-    if mode == "bwd":
+    dps_ref = None
+    if mode == "bwd" and dp_nhwc:
+        x_ref, h_ref, w_ref, kc_ref, bb_ref, dp_ref, o_ref, ow_ref, \
+            rhs_ref, dy_ref, dps_ref = refs
+    elif mode == "bwd":
         x_ref, h_ref, w_ref, kc_ref, bb_ref, dp_ref, o_ref, ow_ref, \
             rhs_ref, dy_ref = refs
     elif mode == "dy" and with_wgrad:
@@ -380,7 +389,15 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
         # ---- backward: first-max routing + bf16-rounded leaky bwd --
         dz = {}
         for g2 in range(RG):
-            if dp_3d:
+            if dp_nhwc:
+                # (RP, WS, Cout, 128) 4D cotangent block: re-lane one
+                # pooled row into (Cout, WSL) via the staging scratch
+                # (per-w static stores; lane offsets canonicalize)
+                for wv in range(WS):
+                    dps_ref[:, wv * _LANE:(wv + 1) * _LANE] = \
+                        dp_ref[rp + g2, wv]
+                g_ct = dps_ref[...].astype(jnp.float32)
+            elif dp_3d:
                 # chained-pair dp: the dgrad kernel's phase-major
                 # output (P_pool, H2*Cout, WPL), block
                 # (1, RP*Cout, WSL) at (q,i,mc)
@@ -465,7 +482,7 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
 
 
 def _run(mode, geom: Geom, xp, halo, wpk, kc, bias_b, dp=None,
-         dp_3d=False, with_wgrad=False):
+         dp_3d=False, with_wgrad=False, dp_nhwc=False):
     g = geom
     rg = getattr(g, "RG", 1)
     PW = g.P * g.WP * _LANE
@@ -491,7 +508,14 @@ def _run(mode, geom: Geom, xp, halo, wpk, kc, bias_b, dp=None,
     nch = g.NCH
     MW = 2 * Mg + 8
     if mode in ("bwd", "dy", "red"):
-        if dp_3d:
+        if dp_nhwc:
+            # (H2, W2, Cout, B) pooled cotangent of the NHWC-direct
+            # apply (standalone pair, P=2 -> q == 0 always)
+            assert g.P == 2 and not dp_3d
+            in_specs.append(pl.BlockSpec(
+                (g.RP, g.WS, g.Cout, _LANE),
+                lambda i, q, mc, _n=nch: (i, q * _n + mc, 0, 0)))
+        elif dp_3d:
             in_specs.append(pl.BlockSpec(
                 (1, g.RP * g.Cout, WSL),
                 lambda i, q, mc: (q, i, mc)))
@@ -547,12 +571,16 @@ def _run(mode, geom: Geom, xp, halo, wpk, kc, bias_b, dp=None,
     kern = functools.partial(
         _train_kernel, mode=mode, C=g.C, Cout=g.Cout, P=g.P, WP=g.WP,
         RP=g.RP, WS=g.WS, pack_dr=g.pack_dr, pack_pp=g.pack_pp,
-        RG=rg, dp_3d=dp_3d, with_wgrad=with_wgrad)
+        RG=rg, dp_3d=dp_3d, with_wgrad=with_wgrad, dp_nhwc=dp_nhwc)
     scratch = [pltpu.VMEM((KK, WSL), jnp.bfloat16)]
     if mode == "dy" and with_wgrad:
         scratch.append(pltpu.VMEM((Mg, WSL), jnp.bfloat16))
     elif mode not in ("dy", "red"):
         scratch.append(pltpu.VMEM((MW, WSL), jnp.bfloat16))
+    if dp_nhwc:
+        # staging scratch: (Cout, WSL) re-lane of one pooled row's
+        # 4D cotangent block (stores canonicalize lane offsets)
+        scratch.append(pltpu.VMEM((g.Cout, WSL), jnp.bfloat16))
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -568,12 +596,18 @@ def _run(mode, geom: Geom, xp, halo, wpk, kc, bias_b, dp=None,
 
 # ----------------------------------------------- pooled BN-apply pass
 
-def _apply_kernel(z_ref, c_ref, o_ref, *, RPC):
+def _apply_kernel(z_ref, c_ref, o_ref, *, RPC, nhwc_dims=None):
     """Elementwise BN+bias+leaky on the raw pooled conv output (mode
     "fwdstats" saved it) — the EXACT per-tap expressions of mode
     "fwd": f32 xhat from the bf16 value, bf16-rounded scale multiply,
     bf16 bias add, bf16 0.1 leak. Per-row constants (row -> channel =
-    row % Cout, the (H2*Cout, W2*B) pooled layout)."""
+    row % Cout, the (H2*Cout, W2*B) pooled layout). nhwc_dims =
+    (RB, Cout, CW): store the result as an (RB, CW, Cout, B) block of
+    the (H2, W2, Cout, B) output — physically the {0,3,2,1}
+    batch-minor NHWC layout the consumer conv wants, so from_phase
+    becomes a layout-view transpose instead of two relayout copies.
+    Per-w static stores; no in-kernel transpose (the (RPC, 128) ->
+    (RB, Cout, 128) regroup never crosses the lane dim)."""
     c = c_ref[...]
     mean = c[0:RPC]
     inv = c[RPC:2 * RPC]
@@ -581,17 +615,22 @@ def _apply_kernel(z_ref, c_ref, o_ref, *, RPC):
     bi = c[3 * RPC:4 * RPC].astype(jnp.bfloat16)
     zf = z_ref[...].astype(jnp.float32)
     zb = ((zf - mean) * inv * sc).astype(jnp.bfloat16) + bi
-    o_ref[...] = jnp.where(zb.astype(jnp.float32) > 0, zb,
-                           jnp.bfloat16(0.1) * zb)
+    res = jnp.where(zb.astype(jnp.float32) > 0, zb,
+                    jnp.bfloat16(0.1) * zb)
+    if nhwc_dims is None:
+        o_ref[...] = res
+        return
+    RB, Cout, CW = nhwc_dims
+    for w in range(CW):
+        o_ref[:, w] = res[:, w * _LANE:(w + 1) * _LANE].reshape(
+            RB, Cout, _LANE)
 
 
-def _run_apply(g: Geom, Z, mean, inv, scales, biases):
-    """bn+bias+leaky over the pooled (H2*Cout, W2*B) raw-z layout,
-    in-place-shaped (one read + one write of the pooled tensor; no
-    conv recompute — the whole point of saving Z in "fwdstats")."""
+def _apply_blocks(g: Geom):
+    """(RB, RPC, CL) for the apply pass: RB h-rows x CL lanes,
+    ~<=2 MB in+out."""
     H2 = g.H // 2
     W2B = (g.P // 2) * g.WP * _LANE
-    # block: RB h-rows x CL lanes, ~<=2 MB in+out
     RB = 1
     for r in range(H2, 0, -1):
         if H2 % r == 0 and r * g.Cout <= 512:
@@ -601,11 +640,26 @@ def _run_apply(g: Geom, Z, mean, inv, scales, biases):
     CL = W2B
     while RPC * CL * 4 > 4 * 1024 * 1024 and CL % 2 == 0:
         CL //= 2
+    return RB, RPC, CL
+
+
+def _apply_consts(g: Geom, RB, mean, inv, scales, biases):
     cols = jnp.stack([mean.astype(jnp.float32),
                       inv.astype(jnp.float32),
                       scales.astype(jnp.float32),
                       biases.astype(jnp.float32)])       # (4, Cout)
-    cpk = jnp.tile(cols[:, None, :], (1, RB, 1)).reshape(4 * RPC, 1)
+    return jnp.tile(cols[:, None, :], (1, RB, 1)).reshape(
+        4 * RB * g.Cout, 1)
+
+
+def _run_apply(g: Geom, Z, mean, inv, scales, biases):
+    """bn+bias+leaky over the pooled (H2*Cout, W2*B) raw-z layout,
+    in-place-shaped (one read + one write of the pooled tensor; no
+    conv recompute — the whole point of saving Z in "fwdstats")."""
+    H2 = g.H // 2
+    W2B = (g.P // 2) * g.WP * _LANE
+    RB, RPC, CL = _apply_blocks(g)
+    cpk = _apply_consts(g, RB, mean, inv, scales, biases)
     return pl.pallas_call(
         functools.partial(_apply_kernel, RPC=RPC),
         grid=(H2 // RB, W2B // CL),
@@ -613,6 +667,29 @@ def _run_apply(g: Geom, Z, mean, inv, scales, biases):
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((RPC, CL), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((H2 * g.Cout, W2B),
+                                       jnp.bfloat16),
+        interpret=_INTERPRET,
+    )(Z, cpk)
+
+
+def _run_apply_nhwc(g: Geom, Z, mean, inv, scales, biases):
+    """Like _run_apply but writes (H2, W2, Cout, B) directly —
+    physically the batch-minor NHWC layout, so the pair's output
+    reaches the consumer conv with NO relayout copies."""
+    assert g.P == 2
+    H2, W2 = g.H // 2, g.W // 2
+    RB, RPC, CL = _apply_blocks(g)
+    CW = CL // _LANE
+    cpk = _apply_consts(g, RB, mean, inv, scales, biases)
+    return pl.pallas_call(
+        functools.partial(_apply_kernel, RPC=RPC,
+                          nhwc_dims=(RB, g.Cout, CW)),
+        grid=(H2 // RB, W2 // CW),
+        in_specs=[pl.BlockSpec((RPC, CL), lambda i, j: (i, j)),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((RB, CW, g.Cout, _LANE),
+                               lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((H2, W2, g.Cout, _LANE),
                                        jnp.bfloat16),
         interpret=_INTERPRET,
     )(Z, cpk)
@@ -728,6 +805,11 @@ def _pair(geom: Geom, xp, w, scales, biases, shift):
 _FWD2 = True     # merged stats+pool forward (one conv recompute saved)
 _APPLY = True    # pooled BN-apply in a Pallas pass (the XLA apply
                  # materializes f32 relayout copies — measured r5)
+_APPLY_NHWC = True   # apply writes (H2,W2,Cout,B) = batch-minor NHWC
+                     # directly and the bwd kernel takes the pooled
+                     # cotangent in the same 4D form — kills the
+                     # from/to-phase relayout copies at the pair
+                     # boundary (r5)
 
 
 def _pair_fwd(geom: Geom, xp, w, scales, biases, shift):
@@ -755,10 +837,14 @@ def _pair_fwd(geom: Geom, xp, w, scales, biases, shift):
     inv = 1.0 / (jnp.sqrt(var) + BN_EPS)
     if _FWD2 and _APPLY:
         # pooled-space bn+bias+leaky in a Pallas pass: one read + one
-        # write of the pooled tensor in ITS OWN layout — the XLA
-        # version below materializes an f32 relayout copy chain
-        # (measured +2.4 ms at 416, r5 profile)
-        pooled = _run_apply(g, Z, mean, inv, scales, biases)
+        # write of the pooled tensor — the XLA version below
+        # materializes an f32 relayout copy chain (measured +2.4 ms
+        # at 416, r5 profile). NHWC mode additionally writes the
+        # batch-minor NHWC layout the consumer conv wants.
+        if getattr(g, "NHWC", False) and g.P == 2:
+            pooled = _run_apply_nhwc(g, Z, mean, inv, scales, biases)
+        else:
+            pooled = _run_apply(g, Z, mean, inv, scales, biases)
     elif _FWD2:
         # pooled-space bn+bias+leaky: the EXACT per-tap expressions of
         # mode "fwd" (f32 xhat from the bf16 value, bf16-rounded
@@ -786,6 +872,8 @@ def _pair_grads(g: Geom, dg, xp, w, scales, biases, mean, var, gpooled,
     (P, H*C, WP*128) layout — the next-lower pair's dp_3d input."""
     dp = gpooled.astype(jnp.bfloat16)   # dmean/dvar ignored (like
     n = g.H * g.W * _LANE               # _bn_core / fused_stem)
+    dp_nhwc = dp.ndim == 4              # (H2, W2, Cout, B) cotangent
+                                        # of the NHWC-direct apply
     halo = halo_rows(xp, g.H, g.C, g.RP, g.NB)
     wpk = _pack_w(w, g)
     bias_b = biases.astype(jnp.bfloat16).reshape(-1, 1)
@@ -799,7 +887,7 @@ def _pair_grads(g: Geom, dg, xp, w, scales, biases, mean, var, gpooled,
                  dp_3d=dp_3d)
     else:
         S, raw = _run("bwd", g, xp, halo, wpk, kc, bias_b, dp=dp,
-                      dp_3d=dp_3d)
+                      dp_3d=dp_3d, dp_nhwc=dp_nhwc)
     dbiases = jnp.sum(S[0:g.Cout], axis=1)
     dscales = jnp.sum(S[g.Cout:], axis=1)
     # hand-written BN backward constants (batchnorm_layer.c:147-157 /
@@ -1116,12 +1204,19 @@ def phase_train_block(x_nhwc, params, spec):
     production conv). Returns (pooled NHWC bf16, bn_updates dict) —
     drop-in for the conv_block + maxpool pair in train mode."""
     g = _plan_cached(spec.h, spec.w, spec.c, spec.filters)
+    if _APPLY_NHWC and _FWD2 and _APPLY and g.P == 2:
+        g = g._replace(NHWC=True)
     xp = to_phase_np(x_nhwc.astype(jnp.bfloat16), g.P)
     pooled_ph, mean, var = _pair(
         g, xp, params["weights"], params["scales"], params["biases"],
         lax.stop_gradient(params["rolling_mean"]))
-    pooled = from_phase_np(pooled_ph, g.H // 2, g.W // 2, g.Cout,
-                           g.P // 2)
+    if pooled_ph.ndim == 4:
+        # NHWC-direct apply output (H2, W2, Cout, B): the transpose
+        # is a layout VIEW ({0,3,2,1} batch-minor NHWC), not a copy
+        pooled = jnp.transpose(pooled_ph, (3, 0, 1, 2))
+    else:
+        pooled = from_phase_np(pooled_ph, g.H // 2, g.W // 2, g.Cout,
+                               g.P // 2)
     bn = {"rolling_mean": 0.9 * params["rolling_mean"] + 0.1 * mean,
           "rolling_variance":
               0.9 * params["rolling_variance"] + 0.1 * var}

@@ -34,7 +34,9 @@ def main():
         PT._FWD2 = False
     if cfg in ("B", "D"):
         PT._APPLY = False
-    if cfg in ("A", "D", "F", "G", "H", "I", "J"):
+    if cfg != "N":
+        PT._APPLY_NHWC = False   # N = I + NHWC-direct pair boundary
+    if cfg in ("A", "D", "F", "G", "H", "I", "J", "N"):
         _orig = PT.plan_pair
 
         def plan_pair_rg1(*a, **kw):
@@ -72,7 +74,7 @@ def main():
 
     xt = jnp.asarray(np.random.uniform(
         0, 1, (128, spec.net.h, spec.net.w, 3)).astype(np.float32))
-    if cfg in ("I", "S"):
+    if cfg in ("I", "S", "N"):
         # bf16 aug-output input (the production device-aug dataflow
         # casts to bf16 at aug write; step numerics are identical)
         xt = xt.astype(jnp.bfloat16)
