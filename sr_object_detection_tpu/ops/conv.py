@@ -49,6 +49,10 @@ def conv2d(x, w, *, stride: int, pad: int, compute_dtype=None):
         # training the cast's transpose downcasts cotangents to the
         # compute dtype so the transposed convs see uniform operands
         return y.astype(jnp.float32)
+    # f32 path: a narrower input (e.g. the bf16 aug-output dataflow
+    # feeding an f32-compute trainer) upcasts exactly
+    if x.dtype != w.dtype:
+        x = x.astype(w.dtype)
     return lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
