@@ -628,19 +628,23 @@ def _apply_kernel(z_ref, c_ref, o_ref, *, RPC, nhwc_dims=None):
 
 def _apply_blocks(g: Geom):
     """(RB, RPC, CL) for the apply pass: RB h-rows x CL lanes,
-    ~<=2 MB in+out."""
+    ~<=2 MB in+out. CL = cw*128 with cw | W2 (the NHWC store needs
+    whole pooled-w columns; lane blocks must stay 128-aligned)."""
     H2 = g.H // 2
-    W2B = (g.P // 2) * g.WP * _LANE
+    W2 = (g.P // 2) * g.WP
     RB = 1
     for r in range(H2, 0, -1):
         if H2 % r == 0 and r * g.Cout <= 512:
             RB = r
             break
     RPC = RB * g.Cout
-    CL = W2B
-    while RPC * CL * 4 > 4 * 1024 * 1024 and CL % 2 == 0:
-        CL //= 2
-    return RB, RPC, CL
+    cw = 1
+    for c in sorted((d for d in range(1, W2 + 1) if W2 % d == 0),
+                    reverse=True):
+        if RPC * c * _LANE * 4 <= 4 * 1024 * 1024:
+            cw = c
+            break
+    return RB, RPC, cw * _LANE
 
 
 def _apply_consts(g: Geom, RB, mean, inv, scales, biases):

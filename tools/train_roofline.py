@@ -57,7 +57,11 @@ convolutional_layer.c:476-512 and batchnorm_layer.c:74-157 math.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 PEAK = 197e12          # v5e bf16 MXU peak
 SPEC_BW = 819e9        # v5e HBM datasheet bandwidth
