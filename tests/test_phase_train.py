@@ -132,6 +132,27 @@ def test_trainer_integration():
     assert losses[True][1] < losses[True][0]
 
 
+def test_forward_parity_divisor_poor_geometry():
+    """The apply-pass lane blocks must stay 128-aligned with cw | W2
+    (the r5 CL-halving bug crashed 608 geometry: W2=304 halves to a
+    9.5-lane-tile block). W=152 -> W2=76 (divisors 1,2,4,19,38,76)
+    exercises the divisor-aware chooser at Cout=32."""
+    spec, params, x = _mkpair(152, 152, 3, 32, seed=5)
+    from sr_object_detection_tpu.kernels.phase_train import (
+        _apply_blocks, plan_pair, _LANE)
+    g = plan_pair(152, 152, 3, 32)
+    assert g is not None
+    RB, RPC, CL = _apply_blocks(g)
+    assert CL % _LANE == 0 and (76 * _LANE) % CL == 0
+    got, _ = jax.jit(
+        lambda v: PT.phase_train_block(v, params, spec))(x)
+    ref, _ = jax.jit(lambda v: _prod_pair(v, params, spec))(x)
+    assert got.shape == ref.shape == (128, 76, 76, 32)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2)
+
+
 def test_plan_rejects_odd_geometry():
     assert PT.plan_pair(15, 16, 3, 16) is None      # odd H
     assert PT.plan_pair(416, 416, 3, 16) is not None
