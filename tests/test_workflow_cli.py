@@ -164,3 +164,27 @@ def test_full_reference_workflow_train_valid_reval(tmp_path, capsys):
     # produce a detector that actually finds the squares (the API-level
     # twin of this chain reaches ~0.5+ — test_e2e.py)
     assert m_ap > 0.3, f"workflow mAP too low: {m_ap}"
+
+
+def test_cli_train_bf16_flag(tmp_path):
+    """-bf16: the TPU production training mode through the CLI
+    (bf16 compute + phase_train, gated to B=128 geometry inside the
+    compiler — at this toy batch it exercises the bf16 trainer path
+    end-to-end and writes checkpoints like the f32 default)."""
+    from sr_object_detection_tpu.apps import cli
+
+    train_paths = _write_dataset(tmp_path / "train", 16, seed=3)
+    (tmp_path / "train.list").write_text("\n".join(train_paths) + "\n")
+    (tmp_path / "obj.names").write_text("thing\n")
+    backup = tmp_path / "backup"
+    (tmp_path / "obj.data").write_text(
+        f"classes = 1\n"
+        f"train = {tmp_path / 'train.list'}\n"
+        f"names = {tmp_path / 'obj.names'}\n"
+        f"backup = {backup}\n")
+    cfg = tmp_path / "toy-det.cfg"
+    cfg.write_text(TOY_CFG.format(max_batches=3))
+
+    cli.main(["detector", "train", str(tmp_path / "obj.data"),
+              str(cfg), "-bf16"])
+    assert (backup / "toy-det_final.weights").exists()
