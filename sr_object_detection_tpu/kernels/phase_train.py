@@ -203,7 +203,7 @@ def plan_pair(H: int, W: int, C: int, Cout: int, P: int = 2,
 
 def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
                   pack_pp, RG=1, dp_3d=False, with_wgrad=False,
-                  dp_nhwc=False):
+                  dp_nhwc=False, with_amax=False):
     """Grid (NB, P//2, NCH). Shared structure: stage the tap union,
     recompute the four pool-variant conv outputs (bf16-rounded f32),
     then the per-mode epilogue. kc rows (f32, (7*Cout, 1)):
@@ -217,8 +217,19 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
     dz*c1 + (y-mean)*c2 + c3, bf16, phase-major (P, H*Cout, WPL) —
     the input of the dgrad kernel; needs c1..c3, so it runs AFTER the
     "bwd" reductions)."""
-    dps_ref = None
-    if mode == "bwd" and dp_nhwc:
+    dps_ref = am_ref = z_ref = None
+    if mode == "bwdg":
+        # gram-factored backward: NO conv recompute — routing comes
+        # from the saved fwdstats argmax, xhat/leaky-sign from the
+        # saved raw pooled Z, and the sum-x(x)y wgrad term from the
+        # staged-tap Gram matrix (applied to w at unpack)
+        if dp_nhwc:
+            x_ref, h_ref, w_ref, kc_ref, bb_ref, dp_ref, z_ref, \
+                am_ref, o_ref, ow_ref, rhs_ref, dy_ref, dps_ref = refs
+        else:
+            x_ref, h_ref, w_ref, kc_ref, bb_ref, dp_ref, z_ref, \
+                am_ref, o_ref, ow_ref, rhs_ref, dy_ref = refs
+    elif mode == "bwd" and dp_nhwc:
         x_ref, h_ref, w_ref, kc_ref, bb_ref, dp_ref, o_ref, ow_ref, \
             rhs_ref, dy_ref, dps_ref = refs
     elif mode == "bwd":
@@ -231,6 +242,10 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
         x_ref, h_ref, w_ref, kc_ref, bb_ref, dp_ref, o_ref, \
             rhs_ref = refs
         ow_ref = dy_ref = None
+    elif mode == "fwdstats" and with_amax:
+        x_ref, h_ref, w_ref, kc_ref, bb_ref, o_ref, ow_ref, \
+            am_ref, rhs_ref, dy_ref = refs
+        dp_ref = None
     elif mode == "fwdstats":
         x_ref, h_ref, w_ref, kc_ref, bb_ref, o_ref, ow_ref, \
             rhs_ref, dy_ref = refs      # ow_ref = the stats output
@@ -254,7 +269,7 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
     def kc(r):
         return kc_ref[r * Cout:(r + 1) * Cout, :]     # (Cout, 1) f32
 
-    if mode in ("stats", "bwd", "red", "fwdstats") \
+    if mode in ("stats", "bwd", "bwdg", "red", "fwdstats") \
             or (mode == "dy" and with_wgrad):
         @pl.when((i == 0) & (q == 0) & (mc == 0))
         def _():
@@ -262,10 +277,12 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
                 o_ref[...] = jnp.zeros_like(o_ref)
             if ow_ref is not None:
                 ow_ref[...] = jnp.zeros_like(ow_ref)
-    if mode == "bwd":
+    if mode in ("bwd", "bwdg"):
         # constant rows for the sum(x) dot: 8 ones rows (any one column
         # of the result is sum over lanes of each staged tap row)
-        dy_ref[2 * Mg:2 * Mg + 8, :] = jnp.ones((8, WSL), jnp.bfloat16)
+        _ones_off = 2 * Mg if mode == "bwd" else Mg
+        dy_ref[_ones_off:_ones_off + 8, :] = jnp.ones(
+            (8, WSL), jnp.bfloat16)
 
     def row(r):
         if r < 0:
@@ -304,6 +321,57 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
                     def _():
                         rhs_ref[rows, WSL - _LANE:WSL] = jnp.zeros(
                             (C, _LANE), rhs_ref.dtype)
+
+    if mode == "bwdg":
+        # ---- gram-factored backward: no conv recompute ------------
+        # Per pooled row: dz at the SELECTED tap only (the fwdstats
+        # argmax routes exactly where the forward pooled), xhat/leaky
+        # sign recomputed from the saved raw Z with the apply pass's
+        # exact expressions; the one factored dot carries [dz variants
+        # | ones]; the Gram dot (rhs x rhs^T) supplies sum x(x)y as
+        # GR @ w at unpack time (y = conv(x) is linear in w).
+        assert RG == 1 and pack_dr and pack_pp
+        mean, inv, scales = kc(1), kc(2), kc(3)
+        bias = bb_ref[...]
+        MWG = Mg + 8
+        for rp in range(RP):
+            stage(rp, 0, 0)
+            if dp_nhwc:
+                for wv in range(WS):
+                    dps_ref[:, wv * _LANE:(wv + 1) * _LANE] = \
+                        dp_ref[rp, wv]
+                g_ct = dps_ref[...].astype(jnp.float32)
+            elif dp_3d:
+                g_ct = dp_ref[0, rp * Cout:(rp + 1) * Cout,
+                              :].astype(jnp.float32)
+            else:
+                g_ct = dp_ref[rp * Cout:(rp + 1) * Cout,
+                              :].astype(jnp.float32)
+            zrow = z_ref[rp * Cout:(rp + 1) * Cout, :]
+            zf = zrow.astype(jnp.float32)
+            xhat_sel = (zf - mean) * inv
+            zb = (xhat_sel * scales).astype(jnp.bfloat16) + bias
+            zpos = zb.astype(jnp.float32) > 0
+            neg = (jnp.float32(0.10009765625) * g_ct).astype(
+                jnp.bfloat16).astype(jnp.float32)
+            dzs = jnp.where(zpos, g_ct, neg)
+            o_ref[0:Cout, :] += dzs
+            o_ref[Cout:2 * Cout, :] += dzs * xhat_sel
+            ami = am_ref[rp * Cout:(rp + 1) * Cout, :].astype(
+                jnp.int32)
+            for k in range(4):
+                dy_ref[k * Cout:(k + 1) * Cout, :] = jnp.where(
+                    ami == k, dzs, jnp.float32(0.0)).astype(
+                    jnp.bfloat16)
+            acc = lax.dot_general(
+                rhs_ref[...], dy_ref[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (KK, Mg+8)
+            ow_ref[:, 0:MWG] += acc
+            gacc = lax.dot_general(
+                rhs_ref[...], rhs_ref[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (KK, KK)
+            ow_ref[:, MWG:MWG + NR * NC * C] += gacc
+        return
 
     NV = 4 * RG                 # pool variants per staged dot set
     for rp in range(0, RP, RG):
@@ -360,6 +428,22 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
                 zsel = jnp.where(kc(3) > 0, vmax, vmin)
                 o_ref[(rp + g2) * Cout:(rp + g2 + 1) * Cout, :] = \
                     zsel.astype(jnp.bfloat16)
+                if am_ref is not None:
+                    # FIRST tap attaining the selected extreme
+                    # (window row-major order = variant index order —
+                    # the darknet first-max rule on the raw values)
+                    idx = seen = None
+                    for k in range(4 * g2, 4 * g2 + 4):
+                        yk = ys[k].astype(jnp.float32)
+                        eq = yk == zsel
+                        first = eq if seen is None \
+                            else eq & jnp.logical_not(seen)
+                        idx = jnp.where(
+                            first, jnp.int32(k - 4 * g2),
+                            jnp.int32(0) if idx is None else idx)
+                        seen = eq if seen is None else seen | eq
+                    am_ref[(rp + g2) * Cout:(rp + g2 + 1) * Cout,
+                           :] = idx.astype(jnp.int8)
             continue
 
         # ---- BN + bias + leaky per variant (fused_stem._bn_leaky) --
@@ -482,7 +566,8 @@ def _train_kernel(*refs, mode, C, Cout, P, WP, RP, WS, pack_dr,
 
 
 def _run(mode, geom: Geom, xp, halo, wpk, kc, bias_b, dp=None,
-         dp_3d=False, with_wgrad=False, dp_nhwc=False):
+         dp_3d=False, with_wgrad=False, dp_nhwc=False,
+         z=None, amax=None, with_amax=False):
     g = geom
     rg = getattr(g, "RG", 1)
     PW = g.P * g.WP * _LANE
@@ -507,7 +592,7 @@ def _run(mode, geom: Geom, xp, halo, wpk, kc, bias_b, dp=None,
     args = [xp, halo, wpk, kc, bias_b]
     nch = g.NCH
     MW = 2 * Mg + 8
-    if mode in ("bwd", "dy", "red"):
+    if mode in ("bwd", "bwdg", "dy", "red"):
         if dp_nhwc:
             # (H2, W2, Cout, B) pooled cotangent of the NHWC-direct
             # apply (standalone pair, P=2 -> q == 0 always)
@@ -524,21 +609,51 @@ def _run(mode, geom: Geom, xp, halo, wpk, kc, bias_b, dp=None,
                 (g.RP * g.Cout, WSL),
                 lambda i, q, mc, _n=nch: (i, q * _n + mc)))
         args.append(dp)
+    if mode == "bwdg":
+        # saved fwdstats raw pooled Z + argmax, same block indexing as
+        # the pooled output
+        in_specs.append(pl.BlockSpec(
+            (g.RP * g.Cout, WSL),
+            lambda i, q, mc, _n=nch: (i, q * _n + mc)))
+        args.append(z)
+        in_specs.append(pl.BlockSpec(
+            (g.RP * g.Cout, WSL),
+            lambda i, q, mc, _n=nch: (i, q * _n + mc)))
+        args.append(amax)
 
     if mode in ("stats", "red"):
         out_shape = jax.ShapeDtypeStruct((2 * g.Cout, WSL), jnp.float32)
         out_spec = pl.BlockSpec((2 * g.Cout, WSL),
                                 lambda i, q, mc: (0, 0))
     elif mode == "fwdstats":
-        # (pooled raw-z extreme, shifted-moment sums) in ONE pass
-        out_shape = (
+        # (pooled raw-z extreme, shifted-moment sums[, argmax]) in ONE
+        # pass — the int8 argmax map routes the gram backward exactly
+        # where the forward pooled
+        out_shape = [
             jax.ShapeDtypeStruct(
                 (H2 * g.Cout, (g.P // 2) * g.WP * _LANE), jnp.bfloat16),
-            jax.ShapeDtypeStruct((2 * g.Cout, WSL), jnp.float32))
-        out_spec = (
+            jax.ShapeDtypeStruct((2 * g.Cout, WSL), jnp.float32)]
+        out_spec = [
             pl.BlockSpec((g.RP * g.Cout, WSL),
                          lambda i, q, mc, _n=nch: (i, q * _n + mc)),
-            pl.BlockSpec((2 * g.Cout, WSL), lambda i, q, mc: (0, 0)))
+            pl.BlockSpec((2 * g.Cout, WSL), lambda i, q, mc: (0, 0))]
+        if with_amax:
+            out_shape.append(jax.ShapeDtypeStruct(
+                (H2 * g.Cout, (g.P // 2) * g.WP * _LANE), jnp.int8))
+            out_spec.append(pl.BlockSpec(
+                (g.RP * g.Cout, WSL),
+                lambda i, q, mc, _n=nch: (i, q * _n + mc)))
+        out_shape = tuple(out_shape)
+        out_spec = tuple(out_spec)
+    elif mode == "bwdg":
+        # BN reductions + [A-dot | ones | Gram] accumulator
+        MWG = Mg + 8
+        out_shape = (
+            jax.ShapeDtypeStruct((2 * g.Cout, WSL), jnp.float32),
+            jax.ShapeDtypeStruct((KK, G * MWG + KK), jnp.float32))
+        out_spec = (
+            pl.BlockSpec((2 * g.Cout, WSL), lambda i, q, mc: (0, 0)),
+            pl.BlockSpec((KK, G * MWG + KK), lambda i, q, mc: (0, 0)))
     elif mode == "fwd":
         out_shape = jax.ShapeDtypeStruct(
             (H2 * g.Cout, (g.P // 2) * g.WP * _LANE), jnp.bfloat16)
@@ -571,10 +686,13 @@ def _run(mode, geom: Geom, xp, halo, wpk, kc, bias_b, dp=None,
     kern = functools.partial(
         _train_kernel, mode=mode, C=g.C, Cout=g.Cout, P=g.P, WP=g.WP,
         RP=g.RP, WS=g.WS, pack_dr=g.pack_dr, pack_pp=g.pack_pp,
-        RG=rg, dp_3d=dp_3d, with_wgrad=with_wgrad, dp_nhwc=dp_nhwc)
+        RG=rg, dp_3d=dp_3d, with_wgrad=with_wgrad, dp_nhwc=dp_nhwc,
+        with_amax=with_amax)
     scratch = [pltpu.VMEM((KK, WSL), jnp.bfloat16)]
     if mode == "dy" and with_wgrad:
         scratch.append(pltpu.VMEM((Mg, WSL), jnp.bfloat16))
+    elif mode == "bwdg":
+        scratch.append(pltpu.VMEM((Mg + 8, WSL), jnp.bfloat16))
     elif mode not in ("dy", "red"):
         scratch.append(pltpu.VMEM((MW, WSL), jnp.bfloat16))
     if dp_nhwc:
@@ -761,6 +879,51 @@ def _unpack_dw(raw, geom: Geom, mean, c1, c2, c3):
     return dw
 
 
+def _unpack_dw_gram(raw, geom: Geom, mean, c1, c2, c3, w):
+    """Assemble the weight gradient from the gram-factored accumulator
+    raw (KK, Mg+8+KK): columns [0:Mg) = A (sum x (x) dz at the
+    selected taps), column Mg = D (sum x), [Mg+8:) = GR (the staged-
+    tap Gram sum x (x) x). The E-block (sum x (x) y) of the plain
+    factored form is recovered as GR @ w — y = conv(x) is linear in
+    w, so sum x(x)y = (sum x(x)x) @ w exactly (the only numeric
+    difference vs mode "bwd" is the skipped bf16 rounding of y)."""
+    g = geom
+    NC = 4 if g.pack_pp else 3
+    groups = _groups_rg(g.pack_dr, g.pack_pp, 1)
+    assert len(groups) == 1, "bwdg requires the fully packed layout"
+    (dr0, pp0), variants = groups[0]
+    nv = len(variants)
+    Mg = nv * g.Cout
+    KK = 4 * NC * g.C
+    GR = raw[:, Mg + 8:Mg + 8 + KK]          # (KK, KK)
+    dw = jnp.zeros((3, 3, g.C, g.Cout), jnp.float32)
+    for vi, (dr, pp) in enumerate(variants):
+        # E9 = Gv @ w9 over this variant's 9 tap slots
+        rows = []
+        for dy in range(3):
+            for dx in range(3):
+                rs = ((dy + dr - dr0) * NC + (dx + pp - pp0)) * g.C
+                rows.append(GR[rs:rs + g.C, :])
+        Gv = jnp.concatenate(rows, axis=0)   # (9C, KK)
+        cols = []
+        for dy2 in range(3):
+            for dx2 in range(3):
+                rs2 = ((dy2 + dr - dr0) * NC
+                       + (dx2 + pp - pp0)) * g.C
+                cols.append(Gv[:, rs2:rs2 + g.C])
+        Gvv = jnp.concatenate(cols, axis=1)  # (9C, 9C)
+        E9 = Gvv @ w.astype(jnp.float32).reshape(9 * g.C, g.Cout)
+        for dy in range(3):
+            for dx in range(3):
+                rs = ((dy + dr - dr0) * NC + (dx + pp - pp0)) * g.C
+                A = raw[rs:rs + g.C, vi * g.Cout:(vi + 1) * g.Cout]
+                E = E9[(dy * 3 + dx) * g.C:(dy * 3 + dx + 1) * g.C]
+                D = raw[rs:rs + g.C, Mg:Mg + 1]
+                dw = dw.at[dy, dx].add(
+                    c1 * A + c2 * (E - mean * D) + c3 * D)
+    return dw
+
+
 def _unpack_dw_direct(raw, geom: Geom):
     """Assemble the DIRECT weight gradient (dw = sum x (x) dy) from
     the (KK, G*Mg) accumulator of the "dy"+wgrad pass — the plain
@@ -809,6 +972,14 @@ def _pair(geom: Geom, xp, w, scales, biases, shift):
 _FWD2 = True     # merged stats+pool forward (one conv recompute saved)
 _APPLY = True    # pooled BN-apply in a Pallas pass (the XLA apply
                  # materializes f32 relayout copies — measured r5)
+_BWD_GRAM = True     # gram-factored backward: fwdstats also saves the
+                     # pool argmax (int8), the backward pass skips the
+                     # conv recompute entirely (routing from argmax,
+                     # xhat/leaky sign from saved Z, sum-x(x)y from
+                     # the staged-tap Gram applied to w at unpack).
+                     # Needs the fully packed variant layout; gated in
+                     # _pair_fwd. Measured r5: bwd 3.22 -> 2.17 ms,
+                     # step 3349 -> 3413 img/s (36.2% MFU)
 _APPLY_NHWC = True   # apply writes (H2,W2,Cout,B) = batch-minor NHWC
                      # directly and the bwd kernel takes the pooled
                      # cotangent in the same 4D form — kills the
@@ -823,7 +994,13 @@ def _pair_fwd(geom: Geom, xp, w, scales, biases, shift):
     wpk = _pack_w(w, g)
     bias_b = biases.astype(jnp.bfloat16).reshape(-1, 1)
     kc0 = _consts(shift, shift, shift, scales)   # rows 0 (shift) + 3
-    if _FWD2:
+    AM = None
+    gram = (_FWD2 and _BWD_GRAM and g.pack_dr and g.pack_pp
+            and getattr(g, "RG", 1) == 1)
+    if gram:
+        Z, S, AM = _run("fwdstats", g, xp, halo, wpk, kc0, bias_b,
+                        with_amax=True)
+    elif _FWD2:
         # ONE pass: shifted moments + raw-z extreme pool (mode
         # "fwdstats" — the 2x2 first-max commutes through the
         # monotone per-channel BN+bias+leaky, whose slope sign is
@@ -865,11 +1042,17 @@ def _pair_fwd(geom: Geom, xp, w, scales, biases, shift):
     else:
         kc = _consts(shift, mean, inv, scales)
         pooled = _run("fwd", g, xp, halo, wpk, kc, bias_b)
+    if gram:
+        # gram backward residuals: the raw pooled Z + argmax replace
+        # the backward's conv recompute
+        return (pooled, mean, var), (xp, w, scales, biases, mean,
+                                     var, Z, AM)
     return (pooled, mean, var), (xp, w, scales, biases, mean, var)
 
 
 def _pair_grads(g: Geom, dg, xp, w, scales, biases, mean, var, gpooled,
-                *, dp_3d: bool = False, want_dx: bool = False):
+                *, dp_3d: bool = False, want_dx: bool = False,
+                z_saved=None, amax_saved=None):
     """Shared backward body: factored "bwd" pass -> (dw, dscales,
     dbiases[, dxp]). want_dx adds the "dy" materialization pass + the
     dgrad kernel (dg: DgradGeom) and returns dxp in the PHASE-MAJOR
@@ -883,12 +1066,17 @@ def _pair_grads(g: Geom, dg, xp, w, scales, biases, mean, var, gpooled,
     bias_b = biases.astype(jnp.bfloat16).reshape(-1, 1)
     inv = 1.0 / (jnp.sqrt(var) + BN_EPS)
     kc = _consts(mean, mean, inv, scales)
+    gram = z_saved is not None and not want_dx
     if want_dx:
         # reductions only — the weight gradient rides the "dy" pass
         # below as a DIRECT sum x (x) dy (cheaper than the factored
         # 2*Mg+8-column dots once dy is materialized anyway)
         S = _run("red", g, xp, halo, wpk, kc, bias_b, dp=dp,
                  dp_3d=dp_3d)
+    elif gram:
+        S, raw = _run("bwdg", g, xp, halo, wpk, kc, bias_b, dp=dp,
+                      dp_3d=dp_3d, dp_nhwc=dp_nhwc, z=z_saved,
+                      amax=amax_saved)
     else:
         S, raw = _run("bwd", g, xp, halo, wpk, kc, bias_b, dp=dp,
                       dp_3d=dp_3d, dp_nhwc=dp_nhwc)
@@ -905,7 +1093,11 @@ def _pair_grads(g: Geom, dg, xp, w, scales, biases, mean, var, gpooled,
     c2 = variance_delta * 2.0 / n
     c3 = mean_delta / n
     if not want_dx:
-        dw = _unpack_dw(raw, g, mean, c1, c2, c3).astype(w.dtype)
+        if gram:
+            dw = _unpack_dw_gram(raw, g, mean, c1, c2, c3,
+                                 w).astype(w.dtype)
+        else:
+            dw = _unpack_dw(raw, g, mean, c1, c2, c3).astype(w.dtype)
         return (dw, dscales.astype(scales.dtype),
                 dbiases.astype(biases.dtype), None)
     # the input gradient: materialize the full-res conv cotangent
@@ -922,9 +1114,14 @@ def _pair_grads(g: Geom, dg, xp, w, scales, biases, mean, var, gpooled,
 
 
 def _pair_bwd(geom: Geom, res, gct):
-    xp, w, scales, biases, mean, var = res
+    if len(res) == 8:
+        xp, w, scales, biases, mean, var, Z, AM = res
+    else:
+        xp, w, scales, biases, mean, var = res
+        Z = AM = None
     dw, ds, db, _ = _pair_grads(geom, None, xp, w, scales, biases,
-                                mean, var, gct[0])
+                                mean, var, gct[0], z_saved=Z,
+                                amax_saved=AM)
     return (jnp.zeros_like(xp), dw, ds, db, jnp.zeros_like(mean))
 
 

@@ -96,6 +96,39 @@ def test_gradient_parity():
                                    err_msg=k)
 
 
+def test_gradient_parity_gram_bwd():
+    """_BWD_GRAM: the gram-factored backward (no conv recompute —
+    argmax routing + GR@w wgrad term) matches the production chain's
+    gradients to the same tolerance as the recomputing backward. The
+    only numeric deltas vs mode "bwd" are the skipped bf16 rounding
+    of y in the E-term and raw-vs-applied first-extreme tie routing
+    (measure-zero on random data)."""
+    spec, params, x = _mkpair(16, 16, 3, 16, seed=3)
+    r = jnp.asarray(np.random.RandomState(9).randn(
+        128, 8, 8, 16).astype(np.float32))
+
+    def loss_fused(p):
+        y, _ = PT.phase_train_block(x, p, spec)
+        return jnp.sum(y.astype(jnp.float32) * r)
+
+    def loss_prod(p):
+        y, _ = _prod_pair(x, p, spec)
+        return jnp.sum(y.astype(jnp.float32) * r)
+
+    old = PT._BWD_GRAM
+    PT._BWD_GRAM = True
+    try:
+        gf = jax.jit(jax.grad(loss_fused))(params)
+    finally:
+        PT._BWD_GRAM = old
+    gp = jax.jit(jax.grad(loss_prod))(params)
+    for k in ("weights", "scales", "biases"):
+        a, b = np.asarray(gf[k]), np.asarray(gp[k])
+        scale = max(1e-3, float(np.max(np.abs(b))))
+        np.testing.assert_allclose(a, b, rtol=4e-2, atol=4e-2 * scale,
+                                   err_msg=k)
+
+
 def test_trainer_integration():
     """make_train_step(phase_train=True): one step on a tiny detector,
     loss matches the unfused step to bf16 tolerance and decreases."""

@@ -34,9 +34,11 @@ def main():
         PT._FWD2 = False
     if cfg in ("B", "D"):
         PT._APPLY = False
-    if cfg != "N":
+    if cfg not in ("N", "Z"):
         PT._APPLY_NHWC = False   # N = I + NHWC-direct pair boundary
-    if cfg in ("A", "D", "F", "G", "H", "I", "J", "N"):
+    if cfg == "Z":
+        PT._BWD_GRAM = True      # Z = N + gram-factored backward
+    if cfg in ("A", "D", "F", "G", "H", "I", "J", "N", "Z"):
         _orig = PT.plan_pair
 
         def plan_pair_rg1(*a, **kw):
@@ -74,7 +76,7 @@ def main():
 
     xt = jnp.asarray(np.random.uniform(
         0, 1, (128, spec.net.h, spec.net.w, 3)).astype(np.float32))
-    if cfg in ("I", "S", "N"):
+    if cfg in ("I", "S", "N", "Z"):
         # bf16 aug-output input (the production device-aug dataflow
         # casts to bf16 at aug write; step numerics are identical)
         xt = xt.astype(jnp.bfloat16)

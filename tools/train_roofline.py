@@ -94,15 +94,18 @@ def phase_pair_ops(name, Sx, P, F):
             (f"{name}.phase_bwd", Sx + P, 2 * F)]
 
 
-def model_ops(spec, batch, *, phase_pairs=0, dsize=2):
-    """Walk the NetworkSpec and emit the training-step op list."""
+def model_ops(spec, batch, *, phase_pairs=0, dsize=2, in_dsize=4):
+    """Walk the NetworkSpec and emit the training-step op list.
+    in_dsize=2 models the bf16 aug-output dataflow (r5 production
+    default: the cast happens at aug write, so the step only reads
+    the bf16 batch)."""
     from sr_object_detection_tpu.graph import spec as S
 
     ops = []
     layers = list(spec.layers)
-    # input cast f32 -> bf16
+    # input cast/read (f32->bf16, or a pure bf16 read at in_dsize=2)
     in_el = batch * spec.net.h * spec.net.w * spec.net.c
-    ops.append(("input_cast", in_el * (4 + dsize), 0))
+    ops.append(("input_cast", in_el * (in_dsize + dsize), 0))
 
     params_el = 0
     i = 0
@@ -164,6 +167,9 @@ def main():
                     help="run the real train step (best-of-3 x 10)")
     ap.add_argument("--profile", action="store_true",
                     help="xplane per-op top-30 of the real step")
+    ap.add_argument("--bf16-input", action="store_true",
+                    help="model the bf16 aug-output dataflow (the r5 "
+                    "production default)")
     args = ap.parse_args()
 
     from sr_object_detection_tpu.models.zoo import tiny_yolo_voc, yolov2
@@ -180,7 +186,8 @@ def main():
         base, net=dataclasses.replace(base.net, batch=args.batch,
                                       subdivisions=1))
     B = args.batch
-    ops = model_ops(spec, B, phase_pairs=phase)
+    ops = model_ops(spec, B, phase_pairs=phase,
+                    in_dsize=2 if args.bf16_input else 4)
     tf = train_flops(spec) * B
 
     scenarios = [("spec(819GB/s,100%MXU)", SPEC_BW, 1.0),
