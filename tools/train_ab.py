@@ -34,7 +34,7 @@ def main():
         PT._FWD2 = False
     if cfg in ("B", "D"):
         PT._APPLY = False
-    if cfg not in ("N", "Z"):
+    if cfg not in ("N", "Z", "S"):
         PT._APPLY_NHWC = False   # N = I + NHWC-direct pair boundary
     if cfg == "Z":
         PT._BWD_GRAM = True      # Z = N + gram-factored backward
