@@ -170,13 +170,18 @@ def plan_pair(H: int, W: int, C: int, Cout: int, P: int = 2,
                 if _vmem_train(C, Cout, P, WP, rp, ws,
                                pack_dr, pack_pp,
                                rg=rg) <= _VMEM_BUDGET:
-                    # window width FIRST (up to 8 chunks — WSL>=1024
-                    # keeps the dots and stores out of overhead land;
-                    # the r4 profile caught RP-first picking RP=2/WS=2
-                    # at pair-2 geometry, 256-lane dots ~3x slower
-                    # than RP=1/WS=8), THEN rows (halo amortization),
-                    # then the rest of ws
-                    score = (min(ws, 8), rp, ws)
+                    # window width FIRST (WSL>=1024 keeps the dots
+                    # and stores out of overhead land; the r4 profile
+                    # caught RP-first picking RP=2/WS=2 at pair-2
+                    # geometry, 256-lane dots ~3x slower than
+                    # RP=1/WS=8), THEN rows (halo amortization), then
+                    # the rest of ws. Cap 16: under the r5 gram
+                    # backward WS=16 beats WS=8 by +0.5% (fewer
+                    # chunk-boundary stagings now that the dots are
+                    # lighter; 3417 vs 3400 back-to-back) — the old
+                    # conv-recomputing bwd measured the opposite
+                    # (39.95 vs 39.71 ms, cap 8 era)
+                    score = (min(ws, 16), rp, ws)
                     if best_score is None or score > best_score:
                         best, best_score = (rp, ws), score
                     break
